@@ -1,0 +1,330 @@
+"""Tiled z-buffer rasteriser for depth-displaced grid meshes — the production path.
+
+This is the TPU-native replacement for the reference's OpenGL draw call
+(``glDrawElements`` + GLSL shaders, ``DepthRenderer/render.py:448,799-822``). The
+design exploits two structural facts instead of translating the GL model:
+
+1. **The mesh is a regular grid.** The triangles that can possibly cover a screen
+   tile form a contiguous rectangle of grid cells, so per-tile "binning" is just a
+   ``dynamic_slice`` window into the projected vertex grid — no triangle lists, no
+   scatter, no dynamic shapes. Window placement comes from exact per-patch projected
+   bounding boxes each frame, so it tracks any camera motion.
+
+2. **Edge/depth functions are affine in screen space.** For each tile, coverage,
+   barycentrics and depth for all (pixel × candidate-triangle) pairs are evaluated as
+   one dense matmul ``[x, y, 1] @ plane_coeffs`` — MXU-shaped work — followed by a
+   streaming (flash-attention-style) z-argmin merge over triangle chunks. There is no
+   scatter anywhere in the pipeline; the only gathers are the per-pixel winner-corner
+   fetch and the bilinear texture taps.
+
+The pipeline per frame:
+  project grid (one matmul) → per-cell/patch screen bboxes (reductions) → per-tile
+  window placement (dense mask reductions) → per-tile: slice window, build plane
+  coefficients, streamed pixel×triangle matmul + z-merge, winner attribute resolve,
+  perspective-correct UV, bilinear texture sample → tile assembly.
+
+Semantics are identical to :mod:`.raster_reference` (the numpy oracle) and
+:mod:`.raster_soup`; conventions in :mod:`.common`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import common
+from .common import RasterConfig
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# Vertex-grid attribute channels.
+_SX, _SY, _Z, _INVW, _UW, _VW, _ZMW, _ZM = range(8)
+_BIG = jnp.int32(1 << 30)
+
+
+def _ceil_to(value: int, mult: int) -> int:
+    return -(-value // mult) * mult
+
+
+def _project_attribute_grid(mvp, vertex_grid, uv_grid, width, height):
+    """Project the vertex grid and stack per-vertex attributes (n, n, 8)."""
+    sx, sy, z, inv_w = common.project_vertices(vertex_grid, mvp, width, height)
+    zm = vertex_grid[..., 2]
+    u = uv_grid[..., 0]
+    v = uv_grid[..., 1]
+    return jnp.stack(
+        [sx, sy, z, inv_w, u * inv_w, v * inv_w, zm * inv_w, zm], axis=-1
+    ).astype(jnp.float32)
+
+
+def _tile_windows(vg, config: RasterConfig, width, height, num_tile_rows, num_tile_cols):
+    """Per-tile candidate-window starts from exact projected patch bboxes.
+
+    Returns (wr, wc) int32 arrays of shape (num_tiles,) — the cell-row/col start of
+    each tile's candidate window — plus the per-tile overflow flag (window smaller
+    than the true candidate span; dropped triangles possible).
+    """
+    ps = config.patch_size
+    cells_r = vg.shape[0] - 1
+    cells_c = vg.shape[1] - 1
+
+    # Per-cell screen bboxes from the 4 corners.
+    xs = vg[..., _SX]
+    ys = vg[..., _SY]
+
+    def cell_minmax(g):
+        c = jnp.stack([g[:-1, :-1], g[1:, :-1], g[:-1, 1:], g[1:, 1:]], axis=0)
+        return c.min(axis=0), c.max(axis=0)
+
+    xmin, xmax = cell_minmax(xs)
+    ymin, ymax = cell_minmax(ys)
+
+    # Reduce to patches (cells are already padded to patch multiples by the caller).
+    pr = cells_r // ps
+    pc = cells_c // ps
+
+    def patch_reduce(a, op):
+        return op(op(a.reshape(pr, ps, pc, ps), axis=3), axis=1)
+
+    pxmin = patch_reduce(xmin, jnp.min)
+    pxmax = patch_reduce(xmax, jnp.max)
+    pymin = patch_reduce(ymin, jnp.min)
+    pymax = patch_reduce(ymax, jnp.max)
+
+    # Tile rects over pixel centres, in window coords (y up).
+    th, tw = config.tile_h, config.tile_w
+    tr = jnp.arange(num_tile_rows, dtype=jnp.float32)
+    tc = jnp.arange(num_tile_cols, dtype=jnp.float32)
+    rx0 = tc * tw + 0.5
+    rx1 = tc * tw + (tw - 0.5)
+    ry1 = height - (tr * th + 0.5)          # top of the tile (max y)
+    ry0 = height - (tr * th + th - 0.5)     # bottom of the tile (min y)
+
+    # Overlap masks, kept separable: (tiles_c, pc) for x and (tiles_r, pr) for y.
+    mx = (pxmax[None, :, :] >= rx0[:, None, None]) & (pxmin[None, :, :] <= rx1[:, None, None])
+    my = (pymax[None, :, :] >= ry0[:, None, None]) & (pymin[None, :, :] <= ry1[:, None, None])
+    # Full overlap per tile (tr, tc, pr, pc): combine on the fly per tile row to keep
+    # memory bounded: mask[tr, tc, p] = my[tr, p] & mx[tc, p].
+    m = my[:, None, :, :] & mx[None, :, :, :]  # (tiles_r, tiles_c, pr, pc)
+
+    pri = jnp.arange(pr, dtype=jnp.int32)
+    pci = jnp.arange(pc, dtype=jnp.int32)
+
+    r0p = jnp.min(jnp.where(m, pri[None, None, :, None], _BIG), axis=(2, 3))
+    r1p = jnp.max(jnp.where(m, pri[None, None, :, None], -_BIG), axis=(2, 3))
+    c0p = jnp.min(jnp.where(m, pci[None, None, None, :], _BIG), axis=(2, 3))
+    c1p = jnp.max(jnp.where(m, pci[None, None, None, :], -_BIG), axis=(2, 3))
+    empty = r0p >= _BIG  # no candidate patch at all
+    r0 = jnp.where(empty, 0, r0p) * ps
+    r1 = (jnp.where(empty, 0, r1p) + 1) * ps
+    c0 = jnp.where(empty, 0, c0p) * ps
+    c1 = (jnp.where(empty, 0, c1p) + 1) * ps
+
+    wr_cap = cells_r - config.window_rows
+    wc_cap = cells_c - config.window_cols
+    wr = jnp.clip((r0 + r1 - config.window_rows) // 2, 0, max(wr_cap, 0))
+    wc = jnp.clip((c0 + c1 - config.window_cols) // 2, 0, max(wc_cap, 0))
+    overflow = (((r1 - r0) > config.window_rows) | ((c1 - c0) > config.window_cols)) & ~empty
+
+    return wr.reshape(-1), wc.reshape(-1), overflow.reshape(-1)
+
+
+def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
+                 config: RasterConfig, mode: str):
+    """Render one (tile_h, tile_w) screen tile. All inputs traced; vmap-friendly."""
+    WR, WC = config.window_rows, config.window_cols
+    th, tw = config.tile_h, config.tile_w
+    P = th * tw
+
+    w = jax.lax.dynamic_slice(vg, (wr, wc, 0), (WR + 1, WC + 1, vg.shape[-1]))
+
+    A = w[:-1, :-1]
+    B = w[1:, :-1]
+    C = w[:-1, 1:]
+    D = w[1:, 1:]
+    # Triangle corner stacks in the reference's per-cell order (a,b,c), (c,b,d) —
+    # row-major (cell_i, cell_j, diag) so the streaming argmin tie-break matches
+    # global triangle-id order.
+    t0 = jnp.stack([A, B, C], axis=2)  # (WR, WC, 3, 8)
+    t1 = jnp.stack([C, B, D], axis=2)
+    tris = jnp.stack([t0, t1], axis=2).reshape(WR * WC * 2, 3, 8)
+    Tw = tris.shape[0]
+
+    p = tris[..., (_SX, _SY)]  # (Tw, 3, 2)
+    z = tris[..., _Z]
+    coeffs, area2 = common.triangle_planes(
+        p[:, 0], p[:, 1], p[:, 2], z[:, 0], z[:, 1], z[:, 2]
+    )  # (Tw, 4, 3)
+    valid = area2 > 1e-12
+    if config.edge_cull_threshold is not None:
+        zm = tris[..., _ZM]
+        valid &= (zm.max(axis=1) - zm.min(axis=1)) <= config.edge_cull_threshold
+
+    never = jnp.array(
+        [[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, 0.0, -1.0],
+         [0.0, 0.0, common.FAR_SENTINEL]],
+        jnp.float32,
+    )
+    coeffs = jnp.where(valid[:, None, None], coeffs, never[None])
+
+    # Tile pixel centres (window coords, y up), row-major image order.
+    cols = jnp.arange(tw, dtype=jnp.float32) + 0.5
+    rows = jnp.arange(th, dtype=jnp.float32) + 0.5
+    qx = (px0.astype(jnp.float32) + cols)[None, :].repeat(th, axis=0)
+    qy = (height - (py0.astype(jnp.float32) + rows))[:, None].repeat(tw, axis=1)
+    Q = jnp.stack([qx.reshape(-1), qy.reshape(-1), jnp.ones(P, jnp.float32)], axis=1)
+
+    # Streamed z-merge over triangle chunks.
+    TC = min(config.chunk_tris, Tw)
+    pad = (-Tw) % TC
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.broadcast_to(never, (pad, 4, 3))], axis=0
+        )
+    num_chunks = coeffs.shape[0] // TC
+    chunks = coeffs.reshape(num_chunks, TC, 4, 3)
+
+    def step(carry, chunk):
+        best_z, best_tri, best_l, chunk_idx = carry
+        mat = chunk.transpose(2, 0, 1).reshape(3, -1)
+        E = jnp.matmul(Q, mat, precision=_HIGHEST).reshape(P, TC, 4)
+        l = E[..., :3]
+        zz = E[..., 3]
+        covered = jnp.all(l >= 0.0, axis=-1) & (zz >= -1.0) & (zz <= 1.0)
+        key = jnp.where(covered, zz, common.FAR_SENTINEL)
+        arg = jnp.argmin(key, axis=1)
+        ar = jnp.arange(P)
+        chunk_best = key[ar, arg]
+        chunk_l = l[ar, arg]
+        better = chunk_best < best_z
+        best_z = jnp.where(better, chunk_best, best_z)
+        best_tri = jnp.where(better, chunk_idx * TC + arg, best_tri)
+        best_l = jnp.where(better[:, None], chunk_l, best_l)
+        return (best_z, best_tri, best_l, chunk_idx + 1), None
+
+    init = (
+        jnp.full((P,), common.FAR_SENTINEL, jnp.float32),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P, 3), jnp.float32),
+        jnp.int32(0),
+    )
+    (best_z, best_tri, best_l, _), _ = jax.lax.scan(step, init, chunks)
+    covered = best_z < common.FAR_SENTINEL
+
+    # Decode winner triangle id -> window corner indices.
+    t = jnp.clip(best_tri, 0, Tw - 1)
+    ci = t // (WC * 2)
+    rem = t % (WC * 2)
+    cj = rem // 2
+    diag = rem % 2
+    s = WC + 1
+    v0 = jnp.where(diag == 0, ci * s + cj, ci * s + cj + 1)
+    v1 = (ci + 1) * s + cj
+    v2 = jnp.where(diag == 0, ci * s + cj + 1, (ci + 1) * s + cj + 1)
+
+    wflat = w.reshape(-1, w.shape[-1])
+    attrs = wflat[:, (_UW, _VW, _INVW, _ZMW)]  # (verts, 4)
+    a0 = jnp.take(attrs, v0, axis=0)
+    a1 = jnp.take(attrs, v1, axis=0)
+    a2 = jnp.take(attrs, v2, axis=0)
+    num = (
+        best_l[:, 0, None] * a0 + best_l[:, 1, None] * a1 + best_l[:, 2, None] * a2
+    )  # (P, 4): u·invw, v·invw, invw, zm·invw
+    den = jnp.where(jnp.abs(num[:, 2]) > 1e-30, num[:, 2], 1.0)
+    u = num[:, 0] / den
+    v = num[:, 1] / den
+    z_model = num[:, 3] / den
+
+    rgba = common.shade(covered, u, v, z_model, texture_f32, mode)
+    return rgba.reshape(th, tw, 4)
+
+
+def render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32, width, height,
+                           config: RasterConfig, mode: str = "texture",
+                           with_stats: bool = False):
+    """Unjitted implementation; see :func:`render_frame_grid`."""
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    uv_grid = jnp.asarray(uv_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+
+    vg = _project_attribute_grid(mvp, vertex_grid, uv_grid, width, height)
+
+    # Pad the cell grid so (a) candidate windows always fit and (b) the cell count is
+    # a patch multiple. Edge-replicated vertices create zero-area cells, which the
+    # back-face/degenerate cull removes.
+    ps = config.patch_size
+    cells_r = max(_ceil_to(max(n_r - 1, config.window_rows), ps), config.window_rows)
+    cells_c = max(_ceil_to(max(n_c - 1, config.window_cols), ps), config.window_cols)
+    vg = jnp.pad(vg, ((0, cells_r + 1 - n_r), (0, cells_c + 1 - n_c), (0, 0)),
+                 mode="edge")
+
+    th, tw = config.tile_h, config.tile_w
+    ntr = -(-height // th)
+    ntc = -(-width // tw)
+    wr, wc, overflow = _tile_windows(vg, config, width, height, ntr, ntc)
+
+    tr = jnp.arange(ntr, dtype=jnp.int32)
+    tc = jnp.arange(ntc, dtype=jnp.int32)
+    py0 = jnp.repeat(tr * th, ntc)
+    px0 = jnp.tile(tc * tw, ntr)
+
+    def tile_fn(args):
+        return _render_tile(vg, args["wr"], args["wc"], args["px0"], args["py0"],
+                            texture_f32, width, height, config, mode)
+
+    tiles = jax.lax.map(
+        tile_fn,
+        {"wr": wr, "wc": wc, "px0": px0, "py0": py0},
+        batch_size=min(config.map_batch, ntr * ntc),
+    )  # (nt, th, tw, 4)
+
+    frame = (
+        tiles.reshape(ntr, ntc, th, tw, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ntr * th, ntc * tw, 4)[:height, :width]
+    )
+    if with_stats:
+        return frame, {"overflow_tiles": jnp.sum(overflow.astype(jnp.int32))}
+    return frame
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "mode", "with_stats"))
+def render_frame_grid(mvp, vertex_grid, uv_grid, texture_f32, width, height,
+                      config: RasterConfig = RasterConfig(), mode: str = "texture",
+                      with_stats: bool = False):
+    """Render one frame of a grid mesh.
+
+    :param mvp: (4, 4) model-view-projection matrix.
+    :param vertex_grid: (n_rows, n_cols, 3) model-space vertex positions
+        (``mesh.vertices.reshape(n, n, 3)`` for meshes from :func:`meshgen.grid_mesh`).
+    :param uv_grid: (n_rows, n_cols, 2) texture coordinates.
+    :param texture_f32: (Ht, Wt, 4) float32 texture, 0..255 range.
+    :param width, height: output size (static).
+    :param config: :class:`RasterConfig` (static).
+    :param mode: "texture" or "debug_z" (static).
+    :param with_stats: also return binning diagnostics (static).
+    :return: (height, width, 4) uint8 frame, top-down (and stats if requested).
+    """
+    return render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32, width,
+                                  height, config, mode, with_stats)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "mode", "frame_batch"))
+def render_frames_grid(mvps, vertex_grid, uv_grid, texture_f32, width, height,
+                       config: RasterConfig = RasterConfig(), mode: str = "texture",
+                       frame_batch: int = 1):
+    """Render a batch of frames for a vector of MVPs -> (T, height, width, 4) uint8.
+
+    Frames are mapped with ``lax.map`` (chunked by ``frame_batch``) so the working
+    set stays bounded for long clips; the per-frame pipeline is already internally
+    parallel enough to fill the chip.
+    """
+    mvps = jnp.asarray(mvps, jnp.float32)
+
+    def one(mvp):
+        return render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32,
+                                      width, height, config, mode)
+
+    return jax.lax.map(one, mvps, batch_size=min(frame_batch, mvps.shape[0]))

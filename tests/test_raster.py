@@ -163,3 +163,132 @@ def test_texture_bilinear_gradient(checker_texture):
     row = img[32, :, 0].astype(int)
     cols = np.where(img[32, :, 3] > 0)[0]
     assert row[cols[-1]] > row[cols[0]]
+
+
+# -- tiled grid rasteriser (the production path) -----------------------------------
+
+from depthrenderer_tpu.ops import raster_grid
+from depthrenderer_tpu.ops.common import RasterConfig, suggest_config
+
+
+def _grid_shape(density):
+    n = 2**density + 1
+    return n
+
+
+@pytest.mark.parametrize("angle_deg", [0.0, 3.0, 15.0])
+def test_grid_matches_soup(checker_texture, angle_deg):
+    density = 4
+    verts, uvs, idx, mvp, _ = scene(density=density, size=(48, 64), seed=1)
+    mvp = mvp @ np.asarray(transforms.rotation(np.deg2rad(angle_deg), axis=Axis.Y))
+    n = _grid_shape(density)
+    W, H = 96, 72
+    tex = checker_texture.astype(np.float32)
+    cfg = suggest_config(n, W, H, tile_h=8, tile_w=32, map_batch=8)
+
+    got = np.asarray(
+        raster_grid.render_frame_grid(
+            mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2), tex, W, H, cfg
+        )
+    )
+    want = np.asarray(raster_soup.rasterize_soup(verts, uvs, idx, mvp, tex, W, H))
+    assert_images_close(got, want, min_psnr=45.0, max_diff_frac=0.01)
+
+
+def test_grid_matches_oracle(checker_texture):
+    density = 3
+    verts, uvs, idx, mvp, _ = scene(density=density, size=(24, 32), seed=2)
+    n = _grid_shape(density)
+    W, H = 64, 48
+    cfg = suggest_config(n, W, H, tile_h=8, tile_w=32, map_batch=4)
+    got = np.asarray(
+        raster_grid.render_frame_grid(
+            mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+            checker_texture.astype(np.float32), W, H, cfg
+        )
+    )
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H
+    )
+    assert_images_close(got, want, min_psnr=35.0)
+
+
+def test_grid_window_overflow_reported(checker_texture):
+    # A deliberately tiny window cannot hold all candidate cells -> overflow flag.
+    density = 4
+    verts, uvs, idx, mvp, _ = scene(density=density, size=(32, 32), seed=3)
+    n = _grid_shape(density)
+    cfg = RasterConfig(tile_h=8, tile_w=32, window_rows=2, window_cols=2,
+                       patch_size=2, map_batch=4)
+    _, stats = raster_grid.render_frame_grid(
+        mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+        checker_texture.astype(np.float32), 64, 64, cfg, with_stats=True
+    )
+    assert int(stats["overflow_tiles"]) > 0
+
+
+def test_grid_non_tile_aligned_output(checker_texture):
+    density = 3
+    verts, uvs, idx, mvp, _ = scene(density=density, size=(24, 32), seed=4)
+    n = _grid_shape(density)
+    W, H = 50, 38  # deliberately not multiples of the tile size
+    cfg = suggest_config(n, W, H, tile_h=8, tile_w=32, map_batch=4)
+    got = np.asarray(
+        raster_grid.render_frame_grid(
+            mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+            checker_texture.astype(np.float32), W, H, cfg
+        )
+    )
+    assert got.shape == (H, W, 4)
+    want = np.asarray(
+        raster_soup.rasterize_soup(verts, uvs, idx, mvp,
+                                   checker_texture.astype(np.float32), W, H)
+    )
+    assert_images_close(got, want, min_psnr=45.0, max_diff_frac=0.01)
+
+
+def test_grid_edge_cull(checker_texture):
+    density = 3
+    verts, uvs, idx, mvp, _ = scene(density=density, size=(24, 32), seed=5)
+    n = _grid_shape(density)
+    W, H = 64, 48
+    cfg = suggest_config(n, W, H, tile_h=8, tile_w=32, map_batch=4,
+                         edge_cull_threshold=0.5)
+    got = np.asarray(
+        raster_grid.render_frame_grid(
+            mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+            checker_texture.astype(np.float32), W, H, cfg
+        )
+    )
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H, edge_cull_threshold=0.5
+    )
+    assert_images_close(got, want, min_psnr=35.0)
+
+
+def test_grid_batched_frames(checker_texture):
+    density = 3
+    verts, uvs, idx, mvp0, _ = scene(density=density, size=(24, 32), seed=6)
+    n = _grid_shape(density)
+    W, H = 64, 48
+    cfg = suggest_config(n, W, H, tile_h=8, tile_w=32, map_batch=4)
+    angles = [0.0, 2.0, -3.0]
+    mvps = np.stack([
+        mvp0 @ np.asarray(transforms.rotation(np.deg2rad(a), axis=Axis.Y))
+        for a in angles
+    ])
+    tex = checker_texture.astype(np.float32)
+    frames = np.asarray(
+        raster_grid.render_frames_grid(
+            mvps, verts.reshape(n, n, 3), uvs.reshape(n, n, 2), tex, W, H, cfg,
+            frame_batch=2,
+        )
+    )
+    assert frames.shape == (3, H, W, 4)
+    for k in range(3):
+        single = np.asarray(
+            raster_grid.render_frame_grid(
+                mvps[k], verts.reshape(n, n, 3), uvs.reshape(n, n, 2), tex, W, H, cfg
+            )
+        )
+        np.testing.assert_array_equal(frames[k], single)

@@ -1,0 +1,128 @@
+"""Benchmark: 1080p novel-view frames/sec/chip at mesh-density 10 (headline metric).
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the 500 frames/s/chip north-star target from
+BASELINE.json (the reference publishes no numbers of its own). Diagnostics —
+mesh-generation throughput, PSNR of the production rasteriser vs the independent
+streaming implementation, device info — go to stderr.
+
+Usage: python bench.py [--density 10] [--width 1920] [--height 1080] [--frames 64]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 500.0  # BASELINE.json north_star: >=500 1080p frames/s/chip @ d=10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--density", type=int, default=10)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--frame-batch", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--psnr-check", action="store_true",
+                    help="Also cross-check grid vs soup rasteriser PSNR (slow).")
+    args = ap.parse_args()
+
+    import jax
+
+    from depthrenderer_tpu import animation, io as dio, meshgen, transforms
+    from depthrenderer_tpu.ops.common import suggest_config
+    from depthrenderer_tpu.ops.raster_grid import render_frames_grid
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    # Scene: the reference sample pair, texture upscaled to the output resolution.
+    colour = dio.load_colour("/root/reference/samples/00000_colors.png")
+    depth = dio.load_depth("/root/reference/samples/00000_depth.png")
+    depth_r = dio.resize(depth, (args.height, args.width))
+    texture = dio.resize(colour, (args.height, args.width)).astype(np.float32)
+
+    n = 2**args.density + 1
+
+    # Mesh generation throughput (Mtris/s) — measured on device, steady state.
+    gen = jax.jit(lambda d: meshgen.grid_mesh(d, args.density)[0])
+    d_dev = jax.device_put(depth_r)
+    gen(d_dev)[0].block_until_ready()
+    t0 = time.perf_counter()
+    reps_gen = 10
+    for _ in range(reps_gen):
+        v = gen(d_dev)
+    v.block_until_ready()
+    dt_gen = (time.perf_counter() - t0) / reps_gen
+    tris = 2 * (n - 1) ** 2
+    log(f"mesh-gen: {tris / dt_gen / 1e6:.1f} Mtris/s ({dt_gen * 1e3:.2f} ms at d={args.density})")
+
+    verts, uvs, _ = meshgen.grid_mesh(depth_r, args.density)
+    verts = np.asarray(verts).copy()
+    verts[:, 2] *= 4.0
+    vgrid = verts.reshape(n, n, 3)
+    uvgrid = np.asarray(uvs).reshape(n, n, 2)
+
+    # Camera path: the reference CLI's sway (fov 18, dz -10), 60 fps timing.
+    sway = animation.default_sway(5.0)
+    times = animation.frame_times(args.frames, 60.0)
+    views = np.asarray(sway.batch(times))
+    proj = np.asarray(transforms.perspective(18.0, args.width / args.height))
+    cam = np.asarray(transforms.translation(dz=-10.0))
+    mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
+
+    config = suggest_config(n, args.width, args.height)
+    log(f"config: {config}")
+
+    render = lambda m: render_frames_grid(  # noqa: E731
+        m, vgrid, uvgrid, texture, args.width, args.height, config,
+        frame_batch=args.frame_batch,
+    )
+
+    t0 = time.perf_counter()
+    frames = render(mvps)
+    frames.block_until_ready()
+    log(f"compile + first batch: {time.perf_counter() - t0:.1f}s")
+
+    best = 0.0
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        frames = render(mvps)
+        frames.block_until_ready()
+        dt = time.perf_counter() - t0
+        fps = args.frames / dt
+        best = max(best, fps)
+        log(f"rep {r}: {fps:.1f} frames/s ({dt * 1e3 / args.frames:.2f} ms/frame)")
+
+    if args.psnr_check:
+        from depthrenderer_tpu.ops.raster_soup import rasterize_soup
+        from depthrenderer_tpu.utils import psnr
+
+        idx = meshgen.grid_indices(args.density)
+        a = np.asarray(frames[0])
+        b = np.asarray(
+            rasterize_soup(verts, np.asarray(uvs), idx, mvps[0], texture,
+                           args.width, args.height)
+        )
+        log(f"grid-vs-soup PSNR: {psnr(a, b):.1f} dB")
+
+    print(json.dumps({
+        "metric": f"{args.height}p frames/s/chip @ mesh-density {args.density}",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,20 +59,18 @@ def _project_attribute_grid(mvp, vertex_grid, uv_grid, width, height):
     ).astype(jnp.float32)
 
 
-def _tile_windows(vg, config: RasterConfig, width, height, num_tile_rows, num_tile_cols):
+def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
+                  num_tile_cols):
     """Per-tile candidate-window starts from exact projected patch bboxes.
 
+    :param xs, ys: (R, C) projected window x/y coordinate grids (padded).
     Returns (wr, wc) int32 arrays of shape (num_tiles,) — the cell-row/col start of
     each tile's candidate window — plus the per-tile overflow flag (window smaller
     than the true candidate span; dropped triangles possible).
     """
     ps = config.patch_size
-    cells_r = vg.shape[0] - 1
-    cells_c = vg.shape[1] - 1
-
-    # Per-cell screen bboxes from the 4 corners.
-    xs = vg[..., _SX]
-    ys = vg[..., _SY]
+    cells_r = xs.shape[0] - 1
+    cells_c = xs.shape[1] - 1
 
     def cell_minmax(g):
         c = jnp.stack([g[:-1, :-1], g[1:, :-1], g[:-1, 1:], g[1:, 1:]], axis=0)
@@ -131,13 +129,22 @@ def _tile_windows(vg, config: RasterConfig, width, height, num_tile_rows, num_ti
     return wr.reshape(-1), wc.reshape(-1), overflow.reshape(-1)
 
 
-def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
-                 config: RasterConfig, mode: str):
-    """Render one (tile_h, tile_w) screen tile. All inputs traced; vmap-friendly."""
-    WR, WC = config.window_rows, config.window_cols
-    th, tw = config.tile_h, config.tile_w
-    P = th * tw
+def _tile_planes(vg, wr, wc, config: RasterConfig):
+    """Plane coefficients for every triangle of a tile's candidate window.
 
+    Everything a fragment needs is an affine function of window position: the three
+    barycentric numerators (normalised by the doubled area), NDC depth, and the four
+    perspective attributes u/w, v/w, 1/w, z_model/w. Returning plane coefficients —
+    rather than corner data — makes the entire per-pixel stage dense matmuls plus a
+    first-match select, with **no gathers** (the original argmin + corner-gather
+    resolve was the TPU bottleneck).
+
+    Returns ``(cov_planes, attr_planes)``:
+      * cov_planes: (chunks, 3, 4, TC) — [x, y, 1] coefficients for λ0, λ1, λ2, z.
+      * attr_planes: (chunks, TC, 12) — per-triangle [A, B, C] for the 4 attributes,
+        laid out for the (first-match-mask @ attr_planes) winner matmul.
+    """
+    WR, WC = config.window_rows, config.window_cols
     w = jax.lax.dynamic_slice(vg, (wr, wc, 0), (WR + 1, WC + 1, vg.shape[-1]))
 
     A = w[:-1, :-1]
@@ -145,8 +152,8 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     C = w[:-1, 1:]
     D = w[1:, 1:]
     # Triangle corner stacks in the reference's per-cell order (a,b,c), (c,b,d) —
-    # row-major (cell_i, cell_j, diag) so the streaming argmin tie-break matches
-    # global triangle-id order.
+    # row-major (cell_i, cell_j, diag) so first-match tie-breaking matches global
+    # triangle-id order.
     t0 = jnp.stack([A, B, C], axis=2)  # (WR, WC, 3, 8)
     t1 = jnp.stack([C, B, D], axis=2)
     tris = jnp.stack([t0, t1], axis=2).reshape(WR * WC * 2, 3, 8)
@@ -156,7 +163,7 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     z = tris[..., _Z]
     coeffs, area2 = common.triangle_planes(
         p[:, 0], p[:, 1], p[:, 2], z[:, 0], z[:, 1], z[:, 2]
-    )  # (Tw, 4, 3)
+    )  # (Tw, 4, 3): λ0, λ1, λ2, z planes.
     valid = area2 > 1e-12
     if config.edge_cull_threshold is not None:
         zm = tris[..., _ZM]
@@ -169,6 +176,37 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     )
     coeffs = jnp.where(valid[:, None, None], coeffs, never[None])
 
+    # Attribute planes: attr(q) = Σᵢ attrᵢ · λᵢ(q) -> coefficients are the
+    # λ-coefficient combination of the corner attribute values.
+    corner_attrs = tris[..., (_UW, _VW, _INVW, _ZMW)]  # (Tw, 3 corners, 4 attrs)
+    lam = coeffs[:, :3, :]  # (Tw, 3 corners, 3 xy1)
+    attr_planes = jnp.einsum("tca,tcx->tax", corner_attrs, lam,
+                             precision=_HIGHEST)  # (Tw, 4 attrs, 3 xy1)
+
+    TC = min(config.chunk_tris, Tw)
+    pad = (-Tw) % TC
+    if pad:
+        coeffs = jnp.concatenate([coeffs, jnp.broadcast_to(never, (pad, 4, 3))], axis=0)
+        attr_planes = jnp.concatenate(
+            [attr_planes, jnp.zeros((pad, 4, 3), jnp.float32)], axis=0
+        )
+    chunks = coeffs.shape[0] // TC
+    # (chunks, TC, 4, 3) -> (chunks, 3, 4, TC): xy1 leading for the Q matmul, TC on
+    # lanes so every (P, TC) elementwise op runs at full vector width.
+    cov_planes = coeffs.reshape(chunks, TC, 4, 3).transpose(0, 3, 2, 1)
+    attr_planes = attr_planes.reshape(chunks, TC, 12)
+    return cov_planes, attr_planes
+
+
+def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
+                 config: RasterConfig, mode: str):
+    """Render one (tile_h, tile_w) screen tile. All inputs traced; vmap-friendly."""
+    th, tw = config.tile_h, config.tile_w
+    P = th * tw
+    TC = min(config.chunk_tris, config.window_rows * config.window_cols * 2)
+
+    cov_planes, attr_planes = _tile_planes(vg, wr, wc, config)
+
     # Tile pixel centres (window coords, y up), row-major image order.
     cols = jnp.arange(tw, dtype=jnp.float32) + 0.5
     rows = jnp.arange(th, dtype=jnp.float32) + 0.5
@@ -176,66 +214,43 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     qy = (height - (py0.astype(jnp.float32) + rows))[:, None].repeat(tw, axis=1)
     Q = jnp.stack([qx.reshape(-1), qy.reshape(-1), jnp.ones(P, jnp.float32)], axis=1)
 
-    # Streamed z-merge over triangle chunks.
-    TC = min(config.chunk_tris, Tw)
-    pad = (-Tw) % TC
-    if pad:
-        coeffs = jnp.concatenate(
-            [coeffs, jnp.broadcast_to(never, (pad, 4, 3))], axis=0
-        )
-    num_chunks = coeffs.shape[0] // TC
-    chunks = coeffs.reshape(num_chunks, TC, 4, 3)
-
-    def step(carry, chunk):
-        best_z, best_tri, best_l, chunk_idx = carry
-        mat = chunk.transpose(2, 0, 1).reshape(3, -1)
-        E = jnp.matmul(Q, mat, precision=_HIGHEST).reshape(P, TC, 4)
-        l = E[..., :3]
-        zz = E[..., 3]
-        covered = jnp.all(l >= 0.0, axis=-1) & (zz >= -1.0) & (zz <= 1.0)
+    def step(carry, planes):
+        best_z, best_attrs = carry
+        cov, attr = planes  # (3, 4, TC), (TC, 12)
+        E = jnp.matmul(Q, cov.reshape(3, 4 * TC), precision=_HIGHEST)
+        E = E.reshape(P, 4, TC)
+        l0, l1, l2, zz = E[:, 0], E[:, 1], E[:, 2], E[:, 3]  # each (P, TC)
+        covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (zz >= -1.0) & (zz <= 1.0)
         key = jnp.where(covered, zz, common.FAR_SENTINEL)
-        arg = jnp.argmin(key, axis=1)
-        ar = jnp.arange(P)
-        chunk_best = key[ar, arg]
-        chunk_l = l[ar, arg]
+        chunk_best = key.min(axis=1)  # (P,)
+        # First matching triangle wins ties (lowest id — GL first-drawn semantics):
+        # lowest index among minima via a second min, then a one-hot compare (cheaper
+        # on TPU than a lane-wise prefix scan).
+        m = (key == chunk_best[:, None]) & covered
+        iota = jax.lax.broadcasted_iota(jnp.int32, (P, TC), 1)
+        sel = jnp.min(jnp.where(m, iota, TC), axis=1)  # (P,)
+        first = (iota == sel[:, None]).astype(jnp.float32)
+        # Winner attribute planes collapsed through the mask, then evaluated at Q:
+        # attrs[p] = (first[p] @ attr_planes) · [qx, qy, 1].
+        picked = jnp.matmul(first, attr.reshape(TC, 12), precision=_HIGHEST)
+        attrs = jnp.einsum("pax,px->pa", picked.reshape(P, 4, 3), Q,
+                           precision=_HIGHEST)
         better = chunk_best < best_z
         best_z = jnp.where(better, chunk_best, best_z)
-        best_tri = jnp.where(better, chunk_idx * TC + arg, best_tri)
-        best_l = jnp.where(better[:, None], chunk_l, best_l)
-        return (best_z, best_tri, best_l, chunk_idx + 1), None
+        best_attrs = jnp.where(better[:, None], attrs, best_attrs)
+        return (best_z, best_attrs), None
 
     init = (
         jnp.full((P,), common.FAR_SENTINEL, jnp.float32),
-        jnp.zeros((P,), jnp.int32),
-        jnp.zeros((P, 3), jnp.float32),
-        jnp.int32(0),
+        jnp.zeros((P, 4), jnp.float32),
     )
-    (best_z, best_tri, best_l, _), _ = jax.lax.scan(step, init, chunks)
+    (best_z, best_attrs), _ = jax.lax.scan(step, init, (cov_planes, attr_planes))
     covered = best_z < common.FAR_SENTINEL
 
-    # Decode winner triangle id -> window corner indices.
-    t = jnp.clip(best_tri, 0, Tw - 1)
-    ci = t // (WC * 2)
-    rem = t % (WC * 2)
-    cj = rem // 2
-    diag = rem % 2
-    s = WC + 1
-    v0 = jnp.where(diag == 0, ci * s + cj, ci * s + cj + 1)
-    v1 = (ci + 1) * s + cj
-    v2 = jnp.where(diag == 0, ci * s + cj + 1, (ci + 1) * s + cj + 1)
-
-    wflat = w.reshape(-1, w.shape[-1])
-    attrs = wflat[:, (_UW, _VW, _INVW, _ZMW)]  # (verts, 4)
-    a0 = jnp.take(attrs, v0, axis=0)
-    a1 = jnp.take(attrs, v1, axis=0)
-    a2 = jnp.take(attrs, v2, axis=0)
-    num = (
-        best_l[:, 0, None] * a0 + best_l[:, 1, None] * a1 + best_l[:, 2, None] * a2
-    )  # (P, 4): u·invw, v·invw, invw, zm·invw
-    den = jnp.where(jnp.abs(num[:, 2]) > 1e-30, num[:, 2], 1.0)
-    u = num[:, 0] / den
-    v = num[:, 1] / den
-    z_model = num[:, 3] / den
+    den = jnp.where(jnp.abs(best_attrs[:, 2]) > 1e-30, best_attrs[:, 2], 1.0)
+    u = best_attrs[:, 0] / den
+    v = best_attrs[:, 1] / den
+    z_model = best_attrs[:, 3] / den
 
     rgba = common.shade(covered, u, v, z_model, texture_f32, mode)
     return rgba.reshape(th, tw, 4)
@@ -263,7 +278,8 @@ def render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32, width, height
     th, tw = config.tile_h, config.tile_w
     ntr = -(-height // th)
     ntc = -(-width // tw)
-    wr, wc, overflow = _tile_windows(vg, config, width, height, ntr, ntc)
+    wr, wc, overflow = _tile_windows(vg[..., _SX], vg[..., _SY], config, width,
+                                     height, ntr, ntc)
 
     tr = jnp.arange(ntr, dtype=jnp.int32)
     tc = jnp.arange(ntc, dtype=jnp.int32)

@@ -1,0 +1,338 @@
+"""Pallas TPU kernel for the tiled grid rasteriser — the production compute path.
+
+Same algorithm as :mod:`.raster_grid` (per-tile candidate windows over the projected
+vertex grid, plane-evaluation z-buffer, first-match attribute select), split at the
+natural memory boundary:
+
+* **XLA prepares plane coefficients** per (tile, triangle-chunk): λ0/λ1/λ2/z plane
+  [A, B, C] rows plus the four perspective-attribute planes. This is small, dense,
+  gather-light work (~100 B/triangle).
+* **The Pallas kernel streams the (pixels × triangles) work**: a grid over
+  (tiles, chunks) where each step evaluates every plane at every tile pixel with
+  broadcast FMAs — shapes ``(P, TC)`` with triangles on lanes — and folds the result
+  into VMEM-resident accumulators (best depth + winner attributes) carried across
+  chunk steps in scratch, flash-attention style. The pair arrays never touch HBM;
+  in the pure-XLA formulation their materialisation dominated the frame time
+  (~400 ms at VGA/d=8).
+
+Output is (u, v, z_model, coverage) per pixel; texture sampling and shading stay in
+XLA (bilinear gathers fuse fine there, and keeping them out makes the kernel
+mode-agnostic).
+
+Depth ties: within a chunk the lowest triangle id wins (iota-min over the matching
+minima); across chunks earlier chunks win (strict less-than merge). Chunk order is
+window row-major, matching the oracle's global order exactly as in raster_grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import common
+from .common import RasterConfig
+
+_FAR = float(common.FAR_SENTINEL)
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _prep_tile_planes(vg_cm, wr, wc, config: RasterConfig):
+    """Plane coefficients for one tile's candidate window, TPU-layout-native.
+
+    Everything is computed coefficient-wise on (WR, WC) cell grids and stacked with
+    the triangle axis last — no array ever has a small trailing dimension, which
+    would tile-pad catastrophically on TPU (a (T, 4, 3) coefficient tensor pads to
+    (T, 8, 128), a 170x memory blowup that OOM'd the first version of this path).
+
+    :param vg_cm: (8, R, C) channel-major projected attribute grid.
+    :param wr, wc: window origin (traced scalars; vmapped over tiles).
+    :return: ``(cov, attr)`` each (num_chunks, 12, TC) float32 — [A, B, C] plane
+        rows for λ0/λ1/λ2/z and u/w, v/w, 1/w, zm/w respectively.
+
+    Triangle order is (chunk, diagonal, cell) — within a chunk all (a,b,c) triangles
+    precede all (c,b,d) ones. This deviates from the oracle's (cell, diagonal) order
+    only in which of two *exactly* z-tied triangles wins; tied triangles share the
+    edge being shaded, so only float rounding can differ.
+    """
+    WR, WC = config.window_rows, config.window_cols
+    w = jax.lax.dynamic_slice(vg_cm, (0, wr, wc), (8, WR + 1, WC + 1))
+
+    sx, sy, z, invw, uw, vw, zmw, zm = [w[k] for k in range(8)]
+
+    def corners(g):
+        return g[:-1, :-1], g[1:, :-1], g[:-1, 1:], g[1:, 1:]  # a, b, c, d
+
+    covs, attrs = [], []
+    for diag in (0, 1):
+        def tri(g):
+            a, b, c, d = corners(g)
+            return (a, b, c) if diag == 0 else (c, b, d)
+
+        x0, x1, x2 = tri(sx)
+        y0, y1, y2 = tri(sy)
+
+        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        valid = area2 > 1e-12
+        if config.edge_cull_threshold is not None:
+            m0, m1, m2 = tri(zm)
+            spread = jnp.maximum(m0, jnp.maximum(m1, m2)) - jnp.minimum(
+                m0, jnp.minimum(m1, m2)
+            )
+            valid &= spread <= config.edge_cull_threshold
+        inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+
+        def edge(ax, ay, bx, by):
+            # e(q) = (bx-ax)(qy-ay) - (by-ay)(qx-ax) = A qx + B qy + C.
+            return (
+                -(by - ay) * inv_area,
+                (bx - ax) * inv_area,
+                ((by - ay) * ax - (bx - ax) * ay) * inv_area,
+            )
+
+        lam = [edge(x1, y1, x2, y2), edge(x2, y2, x0, y0), edge(x0, y0, x1, y1)]
+        # Masked-out triangles: λ0 plane = constant -1 (never covered), z = FAR.
+        lam[0] = tuple(
+            jnp.where(valid, c, k)
+            for c, k in zip(lam[0], (0.0, 0.0, -1.0))
+        )
+
+        def combine(v0, v1, v2):
+            """Plane of Σ λᵢ·vᵢ — the affine interpolant of corner values."""
+            return tuple(
+                v0 * lam[0][k] + v1 * lam[1][k] + v2 * lam[2][k] for k in range(3)
+            )
+
+        zp = combine(*tri(z))
+        zp = tuple(jnp.where(valid, c, k) for c, k in zip(zp, (0.0, 0.0, _FAR)))
+
+        cov_rows = list(lam[0]) + list(lam[1]) + list(lam[2]) + list(zp)
+        attr_rows = (
+            list(combine(*tri(uw)))
+            + list(combine(*tri(vw)))
+            + list(combine(*tri(invw)))
+            + list(combine(*tri(zmw)))
+        )
+        covs.append(jnp.stack(cov_rows).reshape(12, WR * WC))
+        attrs.append(jnp.stack(attr_rows).reshape(12, WR * WC))
+
+    cells = WR * WC
+    TC = min(config.chunk_tris // 2, cells)  # cells per chunk (×2 tris per cell)
+    pad = (-cells) % TC
+    if pad:
+        never = jnp.zeros((12, pad), jnp.float32)
+        never = never.at[2].set(-1.0).at[11].set(_FAR)
+        covs = [jnp.concatenate([c, never], axis=1) for c in covs]
+        attrs = [jnp.concatenate([a, jnp.zeros((12, pad), jnp.float32)], axis=1)
+                 for a in attrs]
+    nc = covs[0].shape[1] // TC
+
+    def chunked(arrs):
+        # (2, 12, nc*TC) -> (nc, 2, 12, TC) -> (2*nc, 12, TC), diag-major in chunk.
+        s = jnp.stack(arrs)  # (2, 12, nc*TC)
+        s = s.reshape(2, 12, nc, TC).transpose(2, 0, 1, 3)
+        return s.reshape(nc * 2, 12, TC)
+
+    return chunked(covs), chunked(attrs)
+
+
+def _pair_kernel(px0_ref, py0_ref, cov_ref, attr_ref, out_ref, bz_ref, ba_ref,
+                 *, config: RasterConfig, height: int, num_chunks: int):
+    th, tw = config.tile_h, config.tile_w
+    P = th * tw
+    TC = cov_ref.shape[-1]
+
+    i = pl.program_id(0)  # tile
+    j = pl.program_id(1)  # chunk
+
+    @pl.when(j == 0)
+    def _():
+        bz_ref[...] = jnp.full((P, 1), _FAR, jnp.float32)
+        ba_ref[...] = jnp.zeros((P, 4), jnp.float32)
+
+    # Pixel centres as (P, 1) columns (window coords, y up) — built directly in
+    # layout, no reshapes.
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    col = (pix % tw).astype(jnp.float32)
+    row = (pix // tw).astype(jnp.float32)
+    qx = px0_ref[i].astype(jnp.float32) + col + 0.5
+    qy = height - (py0_ref[i].astype(jnp.float32) + row + 0.5)
+
+    cov = cov_ref[0, 0]  # (12, TC): [A, B, C] rows for λ0, λ1, λ2, z.
+
+    def plane(k):
+        return (
+            qx * cov[3 * k + 0][None, :]
+            + qy * cov[3 * k + 1][None, :]
+            + cov[3 * k + 2][None, :]
+        )  # (P, TC)
+
+    l0 = plane(0)
+    l1 = plane(1)
+    l2 = plane(2)
+    zz = plane(3)
+
+    covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (zz >= -1.0) & (zz <= 1.0)
+    key = jnp.where(covered, zz, _FAR)
+    chunk_best = jnp.min(key, axis=1, keepdims=True)  # (P, 1)
+
+    # Lowest triangle id among the minima (GL first-drawn tie semantics).
+    m = (key == chunk_best) & covered
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (P, TC), 1)
+    sel = jnp.min(jnp.where(m, iota_t, TC), axis=1, keepdims=True)
+    first = (iota_t == sel).astype(jnp.float32)  # (P, TC) one-hot
+
+    # Winner attribute planes via one MXU dot (full f32 — bf16 plane coefficients
+    # visibly shift UVs), evaluated at the pixel. attr is (12, TC): contract lanes.
+    picked = jax.lax.dot_general(
+        first, attr_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HIGHEST,
+    )  # (P, 12)
+    attrs = jnp.concatenate(
+        [
+            picked[:, 3 * a : 3 * a + 1] * qx
+            + picked[:, 3 * a + 1 : 3 * a + 2] * qy
+            + picked[:, 3 * a + 2 : 3 * a + 3]
+            for a in range(4)
+        ],
+        axis=1,
+    )  # (P, 4): u/w, v/w, 1/w, zm/w.
+
+    better = chunk_best < bz_ref[...]
+    bz_ref[...] = jnp.where(better, chunk_best, bz_ref[...])
+    ba_ref[...] = jnp.where(better, attrs, ba_ref[...])
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        best_z = bz_ref[...]
+        best_attr = ba_ref[...]
+        cov_flag = jnp.where(best_z < _FAR, 1.0, 0.0)
+        den = best_attr[:, 2:3]
+        den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        u = best_attr[:, 0:1] / den
+        v = best_attr[:, 1:2] / den
+        zm = best_attr[:, 3:4] / den
+        out_ref[0] = jnp.concatenate([u, v, zm, cov_flag], axis=1)  # (P, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "height"))
+def raster_pairs_pallas(cov_planes, attr_planes, px0, py0, height,
+                        config: RasterConfig):
+    """Stream the pixel×triangle work for all tiles.
+
+    :param cov_planes: (ntiles, nchunks, 12, TC) float32 λ/z plane coefficients.
+    :param attr_planes: (ntiles, nchunks, 12, TC) float32 attribute planes.
+    :param px0, py0: (ntiles,) int32 tile pixel origins.
+    :return: (ntiles, tile_h*tile_w, 4) float32 — u, v, z_model, coverage.
+    """
+    ntiles, num_chunks = cov_planes.shape[0], cov_planes.shape[1]
+    TC = cov_planes.shape[-1]
+    th, tw = config.tile_h, config.tile_w
+    P = th * tw
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 12, TC), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 12, TC), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, 4), lambda i, j, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 4), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _pair_kernel, config=config, height=height, num_chunks=num_chunks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, P, 4), jnp.float32),
+    )(px0.astype(jnp.int32), py0.astype(jnp.int32), cov_planes, attr_planes)
+
+
+def render_frame_pallas_impl(mvp, vertex_grid, uv_grid, texture_f32, width, height,
+                             config: RasterConfig, mode: str = "texture"):
+    """Full frame: XLA projection/binning/coefficients → Pallas pairs → XLA shade."""
+    from . import raster_grid
+
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    uv_grid = jnp.asarray(uv_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+
+    sx, sy, z, inv_w = common.project_vertices(vertex_grid, mvp, width, height)
+    zm = vertex_grid[..., 2]
+    u = uv_grid[..., 0]
+    v = uv_grid[..., 1]
+    channels = [sx, sy, z, inv_w, u * inv_w, v * inv_w, zm * inv_w, zm]
+
+    ps = config.patch_size
+    cells_r = max(raster_grid._ceil_to(max(n_r - 1, config.window_rows), ps),
+                  config.window_rows)
+    cells_c = max(raster_grid._ceil_to(max(n_c - 1, config.window_cols), ps),
+                  config.window_cols)
+    pad_spec = ((0, cells_r + 1 - n_r), (0, cells_c + 1 - n_c))
+    channels = [jnp.pad(ch.astype(jnp.float32), pad_spec, mode="edge")
+                for ch in channels]
+    vg_cm = jnp.stack(channels, axis=0)  # (8, R, C) channel-major
+
+    th, tw = config.tile_h, config.tile_w
+    ntr = -(-height // th)
+    ntc = -(-width // tw)
+    wr, wc, _ = raster_grid._tile_windows(vg_cm[0], vg_cm[1], config, width, height,
+                                          ntr, ntc)
+
+    tr = jnp.arange(ntr, dtype=jnp.int32)
+    tc = jnp.arange(ntc, dtype=jnp.int32)
+    py0 = jnp.repeat(tr * th, ntc)
+    px0 = jnp.tile(tc * tw, ntr)
+
+    cov, attr = jax.vmap(
+        lambda r, c: _prep_tile_planes(vg_cm, r, c, config)
+    )(wr, wc)  # each (ntiles, nchunks, 12, TC)
+
+    tiles = raster_pairs_pallas(cov, attr, px0, py0, height, config)
+
+    full = (
+        tiles.reshape(ntr, ntc, th, tw, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ntr * th, ntc * tw, 4)[:height, :width]
+    )
+    u, v, zm, covf = full[..., 0], full[..., 1], full[..., 2], full[..., 3] > 0.5
+    rgba = common.shade(covf, u, v, zm, texture_f32, mode)
+    return rgba
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "config", "mode"))
+def render_frame_pallas(mvp, vertex_grid, uv_grid, texture_f32, width, height,
+                        config: RasterConfig = RasterConfig(), mode: str = "texture"):
+    """Jitted single-frame entry point (see :func:`render_frame_pallas_impl`)."""
+    return render_frame_pallas_impl(mvp, vertex_grid, uv_grid, texture_f32, width,
+                                    height, config, mode)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config", "mode", "frame_batch")
+)
+def render_frames_pallas(mvps, vertex_grid, uv_grid, texture_f32, width, height,
+                         config: RasterConfig = RasterConfig(), mode: str = "texture",
+                         frame_batch: int = 4):
+    """Batched frames via the Pallas path -> (T, height, width, 4) uint8."""
+    mvps = jnp.asarray(mvps, jnp.float32)
+
+    def one(mvp):
+        return render_frame_pallas_impl(mvp, vertex_grid, uv_grid, texture_f32,
+                                        width, height, config, mode)
+
+    return jax.lax.map(one, mvps, batch_size=min(frame_batch, mvps.shape[0]))

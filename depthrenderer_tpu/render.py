@@ -1,0 +1,252 @@
+"""Renderers: the headless replacement for the reference's GLFW/GL frame loop.
+
+Two layers, replacing ``MeshRenderer`` (``DepthRenderer/render.py:568-861``):
+
+* :class:`MeshRenderer` — API-parity, host-driven frame loop with
+  ``on_update``/``on_exit`` callbacks, ``get_frame``, ``close``, pause and shader
+  (shading-mode) switching. Each frame is one jitted device call. Deviations from
+  the reference, all deliberate and documented: the framebuffer is the requested
+  output resolution (not half the screen width — ``render.py:602-607`` — there is no
+  screen); ``get_frame`` returns the *current* frame (the reference returns the
+  previous one due to PBO latency, ``render.py:803-805``); there are no window
+  events.
+
+* :func:`render_clip` / :class:`ClipRenderer` — the TPU-native batched pipeline: the
+  whole camera path becomes a ``(T, 4, 4)`` MVP batch, frames render in chunks on
+  device while the host encodes the previous chunk (JAX async dispatch gives the
+  overlap the reference built from double PBOs — ``render.py:775-797``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .ops import raster_grid, raster_soup
+from .ops.common import RasterConfig, suggest_config
+from .scene import Camera, Mesh
+from .utils import FrameTimer, log
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _grid_arrays(mesh: Mesh):
+    n = int(np.sqrt(len(mesh.vertices)))
+    assert n * n == len(mesh.vertices), "grid mesh vertex count must be square"
+    return (
+        mesh.vertices.reshape(n, n, 3),
+        mesh.texture_coordinates.reshape(n, n, 2),
+        n,
+    )
+
+
+class MeshRenderer:
+    """Headless per-frame renderer with the reference's callback-driven loop.
+
+    :param camera: the :class:`Camera` (its ``window_size`` is the default
+        framebuffer size).
+    :param width/height: framebuffer size override.
+    :param fps: target frame rate — with ``fixed_time_step`` (default) the update
+        callback always receives ``1/fps`` exactly like the reference's
+        deterministic-output mode (``render.py:750-755``).
+    :param unlimited_frame_works: when True (reference ``render.py:593``) frames are
+        produced as fast as possible; when False the loop sleeps to pace real time.
+    :param config: :class:`RasterConfig`; auto-suggested per mesh if None.
+    :param mode: initial shading mode ("texture" or "debug_z" — the reference's
+        1/2 shader toggle, ``render.py:845-852``).
+    """
+
+    def __init__(self, camera: Optional[Camera] = None, width=None, height=None,
+                 fps: float = 60, fixed_time_step: bool = True,
+                 unlimited_frame_works: bool = True,
+                 config: Optional[RasterConfig] = None, mode: str = "texture",
+                 window_name: str = "depthrenderer_tpu"):
+        self.camera = camera if camera is not None else Camera((512, 512))
+        self.window_name = window_name
+        self.width = int(width if width is not None else self.camera.window_width)
+        self.height = int(height if height is not None else self.camera.window_height)
+        self.fps = float(fps)
+        self.target_frame_time_secs = 1.0 / self.fps
+        self.fixed_time_step = fixed_time_step
+        self.unlimited_frame_works = unlimited_frame_works
+        self.config = config
+        self.mode = mode
+
+        self.frame_timer = FrameTimer()
+        self.is_paused = False
+        self.is_running = True
+        self._should_close = False
+        self._mesh: Optional[Mesh] = None
+        self._frame: Optional[np.ndarray] = None
+        self.frame_count = 0
+
+        self.on_update: Optional[Callable[[float], None]] = None
+        self.on_exit: Optional[Callable[[], None]] = None
+
+    # -- scene wiring -------------------------------------------------------------
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @mesh.setter
+    def mesh(self, mesh: Mesh):
+        self._mesh = mesh
+        self._texture_f32 = np.asarray(mesh.texture.image, np.float32)
+        if mesh.is_grid:
+            self._vgrid, self._uvgrid, n = _grid_arrays(mesh)
+            if self.config is None:
+                self.config = suggest_config(n, self.width, self.height)
+
+    @property
+    def frame_buffer_shape(self):
+        """(width, height) of the framebuffer (reference: ``render.py:727-732``)."""
+        return self.width, self.height
+
+    # -- frame production ----------------------------------------------------------
+
+    def draw(self):
+        """Render one frame with the current camera/mesh state."""
+        if not self.is_running or self._mesh is None:
+            return
+        mvp = np.asarray(
+            self.camera.view_projection_matrix @ self._mesh.transform, np.float32
+        )
+        if self._mesh.is_grid:
+            cfg = self.config if self.config is not None else RasterConfig()
+            frame = raster_grid.render_frame_grid(
+                mvp, self._vgrid, self._uvgrid, self._texture_f32,
+                self.width, self.height, cfg, self.mode,
+            )
+        else:
+            frame = raster_soup.rasterize_soup(
+                self._mesh.vertices, self._mesh.texture_coordinates,
+                self._mesh.indices, mvp, self._texture_f32,
+                self.width, self.height, self.mode,
+            )
+        self._frame = np.asarray(frame)
+        self.frame_count += 1
+
+    def get_frame(self):
+        """The most recently drawn frame as an (H, W, 4) uint8 array (top-down).
+
+        Unlike the reference (one frame of PBO latency, ``render.py:803-805``),
+        this is the frame just drawn. Returns None before the first draw.
+        """
+        return self._frame
+
+    # -- loop control ----------------------------------------------------------------
+
+    def run(self, max_frames: Optional[int] = None):
+        """Run the frame loop until :meth:`close` (or ``max_frames``). Blocks.
+
+        Mirrors the reference's loop (``render.py:734-764``): draw, then
+        ``on_update(delta)`` unless paused, at the target FPS pace unless
+        ``unlimited_frame_works``.
+        """
+        import time
+
+        try:
+            self.frame_timer.reset()
+            while not self._should_close:
+                self.frame_timer.update()
+                if (
+                    self.unlimited_frame_works
+                    or self.frame_timer.elapsed > self.target_frame_time_secs
+                ):
+                    self.draw()
+                    if self.on_update is not None and not self.is_paused:
+                        if self.unlimited_frame_works or self.fixed_time_step:
+                            delta = self.target_frame_time_secs
+                        else:
+                            delta = self.frame_timer.elapsed
+                        self.on_update(delta)
+                    self.frame_timer.elapsed = 0.0
+                    if max_frames is not None and self.frame_count >= max_frames:
+                        break
+                elif not self.unlimited_frame_works:
+                    time.sleep(
+                        max(0.0, self.target_frame_time_secs - self.frame_timer.elapsed)
+                    )
+            if self.on_exit:
+                self.on_exit()
+        finally:
+            self.is_running = False
+
+    def close(self):
+        """Request loop exit (reference: ``render.py:827-828``)."""
+        self._should_close = True
+
+    def cleanup(self):
+        pass
+
+    # -- runtime controls (the reference's key bindings as methods) -------------------
+
+    def pause(self, value: Optional[bool] = None):
+        self.is_paused = (not self.is_paused) if value is None else bool(value)
+
+    def use_default_shader(self):
+        self.mode = "texture"
+
+    def use_debug_shader(self):
+        self.mode = "debug_z"
+
+
+def render_clip(mesh: Mesh, projection, view_batch, width, height,
+                config: Optional[RasterConfig] = None, mode: str = "texture",
+                frame_batch: int = 8,
+                on_frames: Optional[Callable[[int, np.ndarray], None]] = None):
+    """Batched clip rendering: the whole camera path in device-chunked batches.
+
+    :param mesh: a grid :class:`Mesh`.
+    :param projection: (4, 4) projection matrix.
+    :param view_batch: (T, 4, 4) per-frame view matrices (e.g.
+        ``camera_position @ animation.batch(times)``).
+    :param on_frames: callback ``(start_index, frames_uint8)`` per chunk; host-side
+        encoding runs while the next chunk renders on device (async dispatch).
+    :return: total frame count (frames are delivered via ``on_frames``), or the
+        stacked (T, H, W, 4) array when ``on_frames`` is None.
+    """
+    import jax.numpy as jnp
+
+    assert mesh.is_grid, "render_clip requires a grid mesh (use rasterize_soup otherwise)"
+    vgrid, uvgrid, n = _grid_arrays(mesh)
+    cfg = config if config is not None else suggest_config(n, width, height)
+    texture_f32 = np.asarray(mesh.texture.image, np.float32)
+
+    view_batch = jnp.asarray(view_batch, jnp.float32)
+    proj = jnp.asarray(projection, jnp.float32)
+    model = jnp.asarray(mesh.transform, jnp.float32)
+    mvps = jnp.einsum("ij,tjk,kl->til", proj, view_batch, model,
+                      precision=_HIGHEST)
+
+    total = int(view_batch.shape[0])
+    collected = [] if on_frames is None else None
+
+    pending = []  # (start, device_frames) — keep a chunk in flight
+    for start in range(0, total, frame_batch):
+        stop = min(start + frame_batch, total)
+        dev = raster_grid.render_frames_grid(
+            mvps[start:stop], vgrid, uvgrid, texture_f32, width, height, cfg, mode,
+            frame_batch=stop - start,
+        )
+        pending.append((start, dev))
+        if len(pending) > 1:
+            s, d = pending.pop(0)
+            host = np.asarray(d)
+            if on_frames is not None:
+                on_frames(s, host)
+            else:
+                collected.append(host)
+    for s, d in pending:
+        host = np.asarray(d)
+        if on_frames is not None:
+            on_frames(s, host)
+        else:
+            collected.append(host)
+
+    if on_frames is None:
+        return np.concatenate(collected, axis=0)
+    return total

@@ -1,0 +1,231 @@
+"""Dependency-free AVI video container writer (+ optional ffmpeg post-processing).
+
+The reference encodes video with ``cv2.VideoWriter`` (DIVX AVI, ``utils.py:440-484``)
+and post-processes with ffmpeg subprocesses (``render_many.py:27-147``). Neither
+OpenCV nor ffmpeg is a dependency of this framework, so video output is implemented
+directly:
+
+* :class:`AviFile` writes a standards-conforming AVI RIFF container with either
+  raw uncompressed BGR frames (``DIB ``, bit-exact, large) or motion-JPEG frames
+  (``MJPG``, compact, encoded via Pillow) — both playable everywhere.
+* The ffmpeg mosaic/concat/pair helpers (see :mod:`.batch`) shell out to ffmpeg
+  only when it exists on the host, mirroring the reference's post-processing.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import shutil
+import struct
+
+import numpy as np
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _fourcc(code: str) -> bytes:
+    assert len(code) == 4
+    return code.encode("ascii")
+
+
+class AviFile:
+    """Streaming AVI writer.
+
+    :param path: output file path.
+    :param size: (width, height) of frames.
+    :param fps: frame rate (may be fractional).
+    :param codec: ``"MJPG"`` (JPEG frames via Pillow; default) or ``"DIB "``
+        (uncompressed BGR; bit-exact).
+    :param quality: JPEG quality for MJPG.
+
+    Frames are appended with :meth:`write` as top-down (H, W, 3|4) uint8 RGB(A)
+    arrays; :meth:`close` patches the header counts and writes the index.
+    """
+
+    def __init__(self, path, size, fps=24.0, codec="MJPG", quality=92):
+        self.path = str(path)
+        self.width, self.height = int(size[0]), int(size[1])
+        self.fps = float(fps)
+        assert codec in ("MJPG", "DIB "), f"Unsupported codec {codec!r}"
+        self.codec = codec
+        self.quality = int(quality)
+        self._index = []  # (chunk_offset_in_movi, size)
+        self._frames = 0
+        self._closed = False
+
+        self._f = open(self.path, "wb")
+        self._write_headers_placeholder()
+
+    # -- container plumbing ---------------------------------------------------------
+
+    def _write_headers_placeholder(self):
+        f = self._f
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 0))  # riff size (patched)
+        f.write(b"AVI ")
+
+        # LIST hdrl
+        hdrl = _io.BytesIO()
+        hdrl.write(b"hdrl")
+
+        usec_per_frame = int(round(1_000_000 / self.fps)) if self.fps > 0 else 0
+        avih = struct.pack(
+            "<14I",
+            usec_per_frame,  # dwMicroSecPerFrame
+            0,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            _AVIF_HASINDEX,  # dwFlags
+            0,  # dwTotalFrames (patched)
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            0,  # dwSuggestedBufferSize
+            self.width,
+            self.height,
+            0, 0, 0, 0,  # dwReserved
+        )
+        hdrl.write(b"avih" + struct.pack("<I", len(avih)) + avih)
+
+        strl = _io.BytesIO()
+        strl.write(b"strl")
+        rate = int(round(self.fps * 1000))
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4H",
+            b"vids",
+            _fourcc(self.codec),
+            0,  # flags
+            0, 0,  # priority, language
+            0,  # initial frames
+            1000,  # scale
+            rate,  # rate -> fps = rate/scale
+            0,  # start
+            0,  # length (patched)
+            0,  # suggested buffer size
+            0xFFFFFFFF & -1,  # quality
+            0,  # sample size
+            0, 0, self.width & 0xFFFF, self.height & 0xFFFF,  # rcFrame
+        )
+        strl.write(b"strh" + struct.pack("<I", len(strh)) + strh)
+
+        compression = 0 if self.codec == "DIB " else struct.unpack("<I", _fourcc("MJPG"))[0]
+        bits = 24
+        size_image = ((self.width * 3 + 3) & ~3) * self.height
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40,  # biSize
+            self.width,
+            self.height,
+            1,  # planes
+            bits,
+            compression,
+            size_image,
+            0, 0, 0, 0,
+        )
+        strl.write(b"strf" + struct.pack("<I", len(strf)) + strf)
+
+        strl_data = strl.getvalue()
+        hdrl.write(b"LIST" + struct.pack("<I", len(strl_data)) + strl_data)
+        hdrl_data = hdrl.getvalue()
+        f.write(b"LIST" + struct.pack("<I", len(hdrl_data)) + hdrl_data)
+
+        # LIST movi (size patched at close)
+        self._movi_list_pos = f.tell()
+        f.write(b"LIST")
+        f.write(struct.pack("<I", 0))
+        f.write(b"movi")
+        self._movi_start = f.tell()
+
+        # Patch offsets recorded for close().
+        self._avih_totalframes_pos = 12 + 8 + 4 + 8 + 4 * 4
+        # ^ RIFF(12) + LIST hdr(8) + 'hdrl'(4) + 'avih'+size(8) + 4 dwords.
+        self._strh_length_pos = (
+            12 + 8 + 4 + 8 + len(avih) + 8 + 4 + 8 + 4 + 4 + 4 + 2 + 2 + 4 + 4 + 4 + 4
+        )
+        # ^ ... start of strh data + offsets to dwLength field.
+
+    def _encode(self, frame) -> bytes:
+        frame = np.asarray(frame)
+        if frame.ndim != 3:
+            raise ValueError(f"Expected (H, W, C) frame, got shape {frame.shape}")
+        if frame.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"Frame size {frame.shape[1]}x{frame.shape[0]} != "
+                f"{self.width}x{self.height}"
+            )
+        rgb = frame[..., :3]
+        if self.codec == "DIB ":
+            # Uncompressed: BGR rows, bottom-up, 4-byte aligned.
+            bgr = rgb[::-1, :, ::-1]
+            row = self.width * 3
+            pad = (-row) % 4
+            if pad:
+                data = np.zeros((self.height, row + pad), np.uint8)
+                data[:, :row] = np.ascontiguousarray(bgr).reshape(self.height, row)
+                return data.tobytes()
+            return np.ascontiguousarray(bgr).tobytes()
+        else:
+            from PIL import Image
+
+            buf = _io.BytesIO()
+            Image.fromarray(np.ascontiguousarray(rgb)).save(
+                buf, "JPEG", quality=self.quality
+            )
+            return buf.getvalue()
+
+    def write(self, frame):
+        """Append one top-down RGB(A) uint8 frame."""
+        assert not self._closed, "AviFile already closed."
+        payload = self._encode(frame)
+        chunk_id = b"00db" if self.codec == "DIB " else b"00dc"
+        offset = self._f.tell() - self._movi_start
+        self._f.write(chunk_id + struct.pack("<I", len(payload)) + payload)
+        if len(payload) % 2:
+            self._f.write(b"\x00")
+        self._index.append((chunk_id, offset, len(payload)))
+        self._frames += 1
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        f = self._f
+
+        movi_end = f.tell()
+        # idx1
+        f.write(b"idx1" + struct.pack("<I", 16 * len(self._index)))
+        for chunk_id, offset, size in self._index:
+            f.write(chunk_id + struct.pack("<III", _AVIIF_KEYFRAME, offset, size))
+        riff_end = f.tell()
+
+        # Patch sizes and frame counts.
+        f.seek(4)
+        f.write(struct.pack("<I", riff_end - 8))
+        f.seek(self._movi_list_pos + 4)
+        f.write(struct.pack("<I", movi_end - (self._movi_list_pos + 8)))
+        f.seek(self._avih_totalframes_pos)
+        f.write(struct.pack("<I", self._frames))
+        f.seek(self._strh_length_pos)
+        f.write(struct.pack("<I", self._frames))
+        f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_avi_info(path):
+    """Parse basic info from an AVI file (for tests): (width, height, frames, fps)."""
+    with open(path, "rb") as f:
+        data = f.read(4096)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI file"
+    # avih chunk follows 'hdrl'.
+    i = data.find(b"avih")
+    usec, _, _, _, frames, _, _, _, w, h = struct.unpack("<10I", data[i + 8 : i + 48])
+    fps = 1e6 / usec if usec else 0.0
+    return w, h, frames, fps

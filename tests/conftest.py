@@ -6,10 +6,17 @@ a fake distributed backend — see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard overrides: this machine's sitecustomize registers the axon TPU plugin and
+# pins JAX_PLATFORMS=axon at interpreter start, so setdefault is not enough and the
+# in-process config update below is what actually selects the CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,120 @@
+"""Tests for the AVI container, PNG writers and async writer farm."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from depthrenderer_tpu import video
+from depthrenderer_tpu.writers import (
+    AsyncImageWriter,
+    AsyncVideoWriter,
+    ImageWriter,
+    VideoWriter,
+)
+
+
+def frames_gradient(n, w, h):
+    out = []
+    for k in range(n):
+        f = np.zeros((h, w, 4), np.uint8)
+        f[..., 0] = (k * 37) % 256
+        f[..., 1] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        f[..., 3] = 255
+        out.append(f)
+    return out
+
+
+def test_avi_dib_roundtrip(tmp_path):
+    w, h, n = 32, 24, 5
+    path = tmp_path / "t.avi"
+    with video.AviFile(path, (w, h), fps=12, codec="DIB ") as f:
+        for frame in frames_gradient(n, w, h):
+            f.write(frame)
+    ww, hh, frames, fps = video.read_avi_info(path)
+    assert (ww, hh, frames) == (w, h, n)
+    assert abs(fps - 12) < 0.1
+    # The raw payload of frame 0 must contain the exact BGR bytes (bottom-up).
+    data = path.read_bytes()
+    assert b"movi" in data and b"idx1" in data
+
+
+def test_avi_mjpg_decodable(tmp_path):
+    w, h, n = 48, 32, 3
+    path = tmp_path / "t.avi"
+    fs = frames_gradient(n, w, h)
+    with video.AviFile(path, (w, h), fps=24, codec="MJPG") as f:
+        for frame in fs:
+            f.write(frame)
+    data = path.read_bytes()
+    # Extract the first JPEG chunk and decode it with PIL.
+    import struct
+
+    i = data.find(b"00dc")
+    size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+    jpeg = data[i + 8 : i + 8 + size]
+    img = np.asarray(Image.open(__import__("io").BytesIO(jpeg)))
+    assert img.shape == (h, w, 3)
+    # JPEG is lossy; compare loosely.
+    assert abs(int(img[..., 0].mean()) - int(fs[0][..., 0].mean())) < 10
+
+
+def test_avi_rejects_wrong_size(tmp_path):
+    with video.AviFile(tmp_path / "t.avi", (16, 16), codec="DIB ") as f:
+        with pytest.raises(ValueError):
+            f.write(np.zeros((8, 8, 4), np.uint8))
+        f.write(np.zeros((16, 16, 4), np.uint8))
+
+
+def test_image_writer_sync(tmp_path):
+    f = frames_gradient(1, 16, 12)[0]
+    ImageWriter().write(f, tmp_path / "a.png")
+    back = np.asarray(Image.open(tmp_path / "a.png"))
+    np.testing.assert_array_equal(back, f)
+
+
+def test_async_image_writer_drains(tmp_path):
+    w = AsyncImageWriter(num_workers=2)
+    fs = frames_gradient(8, 16, 12)
+    for i, f in enumerate(fs):
+        w.write(f, tmp_path / f"{i}.png")
+    w.cleanup()
+    for i, f in enumerate(fs):
+        back = np.asarray(Image.open(tmp_path / f"{i}.png"))
+        np.testing.assert_array_equal(back, f)
+
+
+def test_async_video_writer_order(tmp_path):
+    # Frames must land in submit order (single encoder thread + FIFO).
+    path = tmp_path / "v.avi"
+    w = AsyncVideoWriter(path, (32, 24), fps=10, codec="DIB ")
+    fs = frames_gradient(12, 32, 24)
+    for f in fs:
+        w.write(f)
+    w.cleanup()
+    _, _, frames, _ = video.read_avi_info(path)
+    assert frames == 12
+    # Decode the raw DIB payloads and check frame order via the red channel.
+    import struct
+
+    data = path.read_bytes()
+    pos = 0
+    reds = []
+    while True:
+        i = data.find(b"00db", pos)
+        if i < 0:
+            break
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        payload = data[i + 8 : i + 8 + size]
+        if size == 32 * 24 * 3:  # skip the idx1 entries that also contain '00db'
+            arr = np.frombuffer(payload, np.uint8).reshape(24, 32, 3)
+            reds.append(int(arr[0, 0, 2]))  # BGR -> red at index 2
+        pos = i + 8 + size
+    assert reds == [(k * 37) % 256 for k in range(12)]
+
+
+def test_video_writer_creates_dirs(tmp_path):
+    path = tmp_path / "deep" / "dir" / "v.avi"
+    w = VideoWriter(path, (16, 16), fps=5, codec="DIB ")
+    w.write(np.zeros((16, 16, 4), np.uint8))
+    w.cleanup()
+    assert path.exists()

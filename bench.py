@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--psnr-check", action="store_true",
                     help="Also cross-check grid vs soup rasteriser PSNR (slow).")
+    ap.add_argument("--impl", choices=("pallas", "xla"), default="pallas",
+                    help="Rasteriser implementation to benchmark.")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +44,7 @@ def main():
     from depthrenderer_tpu import animation, io as dio, meshgen, transforms
     from depthrenderer_tpu.ops.common import suggest_config
     from depthrenderer_tpu.ops.raster_grid import render_frames_grid
+    from depthrenderer_tpu.ops.raster_pallas import render_frames_pallas
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -70,8 +73,11 @@ def main():
     verts, uvs, _ = meshgen.grid_mesh(depth_r, args.density)
     verts = np.asarray(verts).copy()
     verts[:, 2] *= 4.0
-    vgrid = verts.reshape(n, n, 3)
-    uvgrid = np.asarray(uvs).reshape(n, n, 2)
+    # Scene data lives on device once — repeated host->device transfers through
+    # the remote-TPU tunnel otherwise dominate frame time (~45 MB/s).
+    vgrid = jax.device_put(verts.reshape(n, n, 3))
+    uvgrid = jax.device_put(np.asarray(uvs).reshape(n, n, 2))
+    texture = jax.device_put(texture)
 
     # Camera path: the reference CLI's sway (fov 18, dz -10), 60 fps timing.
     sway = animation.default_sway(5.0)
@@ -84,7 +90,8 @@ def main():
     config = suggest_config(n, args.width, args.height)
     log(f"config: {config}")
 
-    render = lambda m: render_frames_grid(  # noqa: E731
+    render_fn = render_frames_pallas if args.impl == "pallas" else render_frames_grid
+    render = lambda m: render_fn(  # noqa: E731
         m, vgrid, uvgrid, texture, args.width, args.height, config,
         frame_batch=args.frame_batch,
     )

@@ -9,6 +9,17 @@ See SURVEY.md for the structural map of the reference and how each component is
 re-imagined here.
 """
 
+import os as _os
+
+# Optional platform override, honoured before any JAX backend initialisation.
+# (A plain JAX_PLATFORMS env var may be pinned by host site configuration, e.g.
+# remote-TPU images, so a dedicated variable is provided.)
+_platform = _os.environ.get("DEPTHRENDERER_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+
 from . import animation, io, meshgen, tasks, transforms, utils  # noqa: F401
 from .scene import Camera, Mesh, Texture  # noqa: F401
 from .transforms import Axis  # noqa: F401

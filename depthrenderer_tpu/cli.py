@@ -89,6 +89,15 @@ def build_parser(prog="python -m depthrenderer_tpu"):
 
 
 def main(argv=None):
+    # Honour an explicit platform override before any jax initialisation. (A
+    # plain JAX_PLATFORMS env var may be pinned by site configuration on some
+    # hosts, e.g. remote-TPU images, so this uses a dedicated variable.)
+    platform = os.environ.get("DEPTHRENDERER_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     args = build_parser().parse_args(argv)
 
     log(f"Loading colour image {args.image_path} ...")

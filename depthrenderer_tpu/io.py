@@ -95,8 +95,25 @@ def resize(image, size, resample=Image.LANCZOS):
 
 
 def save_image(frame, path, file_format="PNG"):
-    """Write an (H, W, C) uint8 frame to disk."""
-    Image.fromarray(np.asarray(frame)).save(path, file_format)
+    """Write an (H, W, C) uint8 frame to disk.
+
+    PNG output uses the native C encoder (``depthrenderer_tpu.native``) when the
+    shared library is available — ~2x Pillow and GIL-free for the writer threads —
+    falling back to Pillow otherwise.
+    """
+    frame = np.asarray(frame)
+    if file_format.upper() == "PNG" and frame.ndim == 3 and frame.dtype == np.uint8 \
+            and frame.shape[2] in (3, 4):
+        try:
+            from . import native
+
+            if native.available():
+                with open(path, "wb") as f:
+                    f.write(native.png_encode(frame))
+                return
+        except Exception:
+            pass  # fall through to Pillow
+    Image.fromarray(frame).save(path, file_format)
 
 
 def to_uint8(frame):
@@ -105,3 +122,25 @@ def to_uint8(frame):
     if frame.dtype == np.uint8:
         return frame
     return np.clip(np.round(frame * 255.0), 0, 255).astype(np.uint8)
+
+
+# -- frame-buffer conversion parity helpers (reference: utils.py:345-377) ----------
+
+
+def read_frame_buffer(frame_buffer, size, mode="RGBA"):
+    """Wrap raw frame-buffer bytes as a PIL image (reference: ``utils.py:345-355``)."""
+    return Image.frombytes(mode, size, data=frame_buffer)
+
+
+def process_frame_numpy(frame):
+    """Frame -> numpy array. The reference additionally un-flips GL's bottom-up
+    rows (``utils.py:358-366``); this framework's frames are already top-down, so
+    this is a plain conversion kept for API parity."""
+    return np.asarray(frame)
+
+
+def process_frame_pillow(frame):
+    """Frame -> PIL image (reference: ``utils.py:369-377``; same note as above)."""
+    if isinstance(frame, Image.Image):
+        return frame
+    return Image.fromarray(np.asarray(frame))

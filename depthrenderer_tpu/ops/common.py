@@ -29,8 +29,14 @@ import jax
 import jax.numpy as jnp
 
 # Depth value assigned to uncovered pixels / masked-out triangles. Any valid NDC
-# depth is <= 1, so this sentinel always loses the depth test.
-FAR_SENTINEL = jnp.float32(3.0e38)
+# depth is <= 1, so this sentinel always loses the depth test. A plain Python
+# float (not a jnp scalar): creating a device array at import time would
+# initialise the JAX backend before the application can choose a platform.
+FAR_SENTINEL = 3.0e38
+
+# Barycentric threshold for wireframe-mode edge coverage (fraction of the
+# triangle's extent; a visual debug aid, not a screen-metric line width).
+WIREFRAME_EDGE_THRESHOLD = 0.15
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,7 +41,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 # Vertex-grid attribute channels.
 _SX, _SY, _Z, _INVW, _UW, _VW, _ZMW, _ZM = range(8)
-_BIG = jnp.int32(1 << 30)
+_BIG = 1 << 30  # plain int: no device arrays at import time
 
 
 def _ceil_to(value: int, mult: int) -> int:
@@ -240,9 +240,13 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
         best_attrs = jnp.where(better[:, None], attrs, best_attrs)
         return (best_z, best_attrs), None
 
+    # Carry inits must carry the same varying-manual-axes type as the scan body
+    # outputs under shard_map; adding a zero derived from the (varying) scanned
+    # data is an axis-name-agnostic way to satisfy the vma rule.
+    varying_zero = cov_planes[0, 0, 0, 0] * 0.0
     init = (
-        jnp.full((P,), common.FAR_SENTINEL, jnp.float32),
-        jnp.zeros((P, 4), jnp.float32),
+        jnp.full((P,), common.FAR_SENTINEL, jnp.float32) + varying_zero,
+        jnp.zeros((P, 4), jnp.float32) + varying_zero,
     )
     (best_z, best_attrs), _ = jax.lax.scan(step, init, (cov_planes, attr_planes))
     covered = best_z < common.FAR_SENTINEL

@@ -146,6 +146,10 @@ def rasterize_reference(vertices, uvs, indices, mvp, texture, width, height,
         + l2 * zm_v[tri[t, 2]] * w2[t]
     ) / den
 
+    if mode == "wireframe":
+        covered &= np.min(best_l, axis=-1) <= 0.15
+        mode = "texture"
+
     tex = _bilinear(texture, u, v)
     if mode == "texture":
         rgba = tex

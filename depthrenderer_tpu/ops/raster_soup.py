@@ -87,11 +87,14 @@ def rasterize_soup(vertices, uvs, indices, mvp, texture_f32, width, height,
         best_l = jnp.where(better[:, None], chunk_l, best_l)
         return (best_z, best_tri, best_l, chunk_idx + 1), None
 
+    # Carry inits must match the scan body's varying-manual-axes type under
+    # shard_map; add a zero derived from the (varying) scanned data (vma rule).
+    varying_zero = coeffs[0, 0, 0, 0] * 0.0
     init = (
-        jnp.full((P,), common.FAR_SENTINEL, jnp.float32),
-        jnp.zeros((P,), jnp.int32),
-        jnp.zeros((P, 3), jnp.float32),
-        jnp.int32(0),
+        jnp.full((P,), common.FAR_SENTINEL, jnp.float32) + varying_zero,
+        jnp.zeros((P,), jnp.int32) + varying_zero.astype(jnp.int32),
+        jnp.zeros((P, 3), jnp.float32) + varying_zero,
+        jnp.int32(0) + varying_zero.astype(jnp.int32),
     )
     (best_z, best_tri, best_l, _), _ = jax.lax.scan(step, init, coeffs)
 
@@ -109,6 +112,12 @@ def rasterize_soup(vertices, uvs, indices, mvp, texture_f32, width, height,
     u = jnp.sum(best_l * u_c * w_c, axis=1) / den
     v = jnp.sum(best_l * v_c * w_c, axis=1) / den
     z_model = jnp.sum(best_l * zm_c * w_c, axis=1) / den
+
+    if mode == "wireframe":
+        # Restrict coverage to pixels near a triangle edge (the headless analogue
+        # of the reference's GL_LINE polygon-mode toggle, render.py:853-859).
+        covered &= jnp.min(best_l, axis=1) <= common.WIREFRAME_EDGE_THRESHOLD
+        mode = "texture"
 
     rgba = common.shade(covered, u, v, z_model, texture_f32, mode)
     return rgba.reshape(height, width, 4)

@@ -32,6 +32,15 @@ from .utils import FrameTimer, log
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _auto_impl() -> str:
+    """Pick the rasteriser implementation: the Pallas kernel on real TPUs, the
+    portable XLA path elsewhere (Pallas interpret mode on CPU is far slower)."""
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "grid"
+    except Exception:
+        return "grid"
+
+
 def _grid_arrays(mesh: Mesh):
     n = int(np.sqrt(len(mesh.vertices)))
     assert n * n == len(mesh.vertices), "grid mesh vertex count must be square"
@@ -62,7 +71,7 @@ class MeshRenderer:
                  fps: float = 60, fixed_time_step: bool = True,
                  unlimited_frame_works: bool = True,
                  config: Optional[RasterConfig] = None, mode: str = "texture",
-                 window_name: str = "depthrenderer_tpu"):
+                 window_name: str = "depthrenderer_tpu", impl: str = "auto"):
         self.camera = camera if camera is not None else Camera((512, 512))
         self.window_name = window_name
         self.width = int(width if width is not None else self.camera.window_width)
@@ -73,6 +82,7 @@ class MeshRenderer:
         self.unlimited_frame_works = unlimited_frame_works
         self.config = config
         self.mode = mode
+        self.impl = _auto_impl() if impl == "auto" else impl
 
         self.frame_timer = FrameTimer()
         self.is_paused = False
@@ -114,12 +124,20 @@ class MeshRenderer:
         mvp = np.asarray(
             self.camera.view_projection_matrix @ self._mesh.transform, np.float32
         )
-        if self._mesh.is_grid:
+        if self._mesh.is_grid and self.impl != "soup":
             cfg = self.config if self.config is not None else RasterConfig()
-            frame = raster_grid.render_frame_grid(
-                mvp, self._vgrid, self._uvgrid, self._texture_f32,
-                self.width, self.height, cfg, self.mode,
-            )
+            if self.impl == "pallas":
+                from .ops import raster_pallas
+
+                frame = raster_pallas.render_frame_pallas(
+                    mvp, self._vgrid, self._uvgrid, self._texture_f32,
+                    self.width, self.height, cfg, self.mode,
+                )
+            else:
+                frame = raster_grid.render_frame_grid(
+                    mvp, self._vgrid, self._uvgrid, self._texture_f32,
+                    self.width, self.height, cfg, self.mode,
+                )
         else:
             frame = raster_soup.rasterize_soup(
                 self._mesh.vertices, self._mesh.texture_coordinates,
@@ -193,11 +211,26 @@ class MeshRenderer:
     def use_debug_shader(self):
         self.mode = "debug_z"
 
+    def toggle_wireframe(self):
+        """Toggle wireframe rendering (the reference's key-3 GL_LINE toggle,
+        ``render.py:853-859`` — whose logic was inverted; this one is not).
+        Wireframe is only implemented by the soup rasteriser, so the toggle also
+        switches the implementation; it is a debug aid, not a fast path."""
+        if self.mode == "wireframe":
+            self.mode = self._pre_wireframe_mode
+            self.impl = self._pre_wireframe_impl
+        else:
+            self._pre_wireframe_mode = self.mode
+            self._pre_wireframe_impl = self.impl
+            self.mode = "wireframe"
+            self.impl = "soup"
+
 
 def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 config: Optional[RasterConfig] = None, mode: str = "texture",
                 frame_batch: int = 8,
-                on_frames: Optional[Callable[[int, np.ndarray], None]] = None):
+                on_frames: Optional[Callable[[int, np.ndarray], None]] = None,
+                impl: str = "auto"):
     """Batched clip rendering: the whole camera path in device-chunked batches.
 
     :param mesh: a grid :class:`Mesh`.
@@ -214,7 +247,11 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
     assert mesh.is_grid, "render_clip requires a grid mesh (use rasterize_soup otherwise)"
     vgrid, uvgrid, n = _grid_arrays(mesh)
     cfg = config if config is not None else suggest_config(n, width, height)
-    texture_f32 = np.asarray(mesh.texture.image, np.float32)
+    # One-time device residency for the scene (repeat host->device transfers are
+    # expensive, especially through a remote-TPU tunnel).
+    vgrid = jax.device_put(vgrid)
+    uvgrid = jax.device_put(uvgrid)
+    texture_f32 = jax.device_put(np.asarray(mesh.texture.image, np.float32))
 
     view_batch = jnp.asarray(view_batch, jnp.float32)
     proj = jnp.asarray(projection, jnp.float32)
@@ -226,9 +263,17 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
     collected = [] if on_frames is None else None
 
     pending = []  # (start, device_frames) — keep a chunk in flight
+    impl = _auto_impl() if impl == "auto" else impl
+    if impl == "pallas":
+        from .ops import raster_pallas
+
+        frames_fn = raster_pallas.render_frames_pallas
+    else:
+        frames_fn = raster_grid.render_frames_grid
+
     for start in range(0, total, frame_batch):
         stop = min(start + frame_batch, total)
-        dev = raster_grid.render_frames_grid(
+        dev = frames_fn(
             mvps[start:stop], vgrid, uvgrid, texture_f32, width, height, cfg, mode,
             frame_batch=stop - start,
         )

@@ -158,12 +158,20 @@ class AviFile:
             )
         rgb = frame[..., :3]
         if self.codec == "DIB ":
-            # Uncompressed: BGR rows, bottom-up, 4-byte aligned.
-            bgr = rgb[::-1, :, ::-1]
+            # Uncompressed: BGR rows, bottom-up, 4-byte aligned. Native C fast
+            # path when available.
             row = self.width * 3
-            pad = (-row) % 4
-            if pad:
-                data = np.zeros((self.height, row + pad), np.uint8)
+            row_pad = (row + 3) & ~3
+            try:
+                from . import native
+
+                if native.available():
+                    return native.rgb_to_bgr_rows(frame, row_pad, bottom_up=True)
+            except Exception:
+                pass
+            bgr = rgb[::-1, :, ::-1]
+            if row_pad != row:
+                data = np.zeros((self.height, row_pad), np.uint8)
                 data[:, :row] = np.ascontiguousarray(bgr).reshape(self.height, row)
                 return data.tobytes()
             return np.ascontiguousarray(bgr).tobytes()
@@ -217,6 +225,41 @@ class AviFile:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_avi_frames(path):
+    """Decode all frames of an AVI written by :class:`AviFile` (or compatible).
+
+    Supports raw DIB (``00db``) and MJPG (``00dc``) streams. Returns a list of
+    top-down (H, W, 3) uint8 RGB frames. Used by the dependency-free video
+    post-processing (mosaic/concat/paired — the reference shells out to ffmpeg for
+    these, ``render_many.py:27-147``; this framework can do them natively).
+    """
+    import io as _io2
+
+    from PIL import Image
+
+    w, h, _, _ = read_avi_info(path)
+    data = open(path, "rb").read()
+    # Only scan inside the movi list (idx1 entries also contain chunk ids).
+    movi = data.find(b"movi")
+    idx1 = data.find(b"idx1", movi)
+    end = idx1 if idx1 > 0 else len(data)
+
+    frames = []
+    pos = movi + 4
+    while pos + 8 <= end:
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        payload = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"00dc":
+            frames.append(np.asarray(Image.open(_io2.BytesIO(payload)).convert("RGB")))
+        elif chunk_id == b"00db":
+            row = (w * 3 + 3) & ~3
+            arr = np.frombuffer(payload, np.uint8)[: row * h].reshape(h, row)
+            frames.append(arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+        pos += 8 + size + (size % 2)
+    return frames
 
 
 def read_avi_info(path):

@@ -1,0 +1,74 @@
+"""Pallas kernel vs the XLA grid rasteriser (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from depthrenderer_tpu import meshgen, transforms
+from depthrenderer_tpu.ops import raster_grid, raster_pallas
+from depthrenderer_tpu.ops.common import RasterConfig
+from depthrenderer_tpu.transforms import Axis
+
+from test_raster import assert_images_close, scene
+
+CFG = RasterConfig(tile_h=8, tile_w=32, window_rows=16, window_cols=16,
+                   patch_size=8, map_batch=8, chunk_tris=128)
+
+
+def _render_both(verts, uvs, mvp, tex, W, H, cfg, mode="texture"):
+    n = int(np.sqrt(len(verts)))
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    a = np.asarray(raster_grid.render_frame_grid(mvp, vg, uvg, tex, W, H, cfg, mode))
+    with pltpu.force_tpu_interpret_mode():
+        b = np.asarray(
+            raster_pallas.render_frame_pallas(mvp, vg, uvg, tex, W, H, cfg, mode)
+        )
+    return a, b
+
+
+@pytest.mark.parametrize("angle_deg", [0.0, 5.0])
+def test_pallas_matches_grid(checker_texture, angle_deg):
+    verts, uvs, _, mvp, _ = scene(density=4, size=(48, 64), seed=1)
+    mvp = (mvp @ np.asarray(transforms.rotation(np.deg2rad(angle_deg), axis=Axis.Y))
+           ).astype(np.float32)
+    a, b = _render_both(verts, uvs, mvp, checker_texture.astype(np.float32),
+                        96, 72, CFG)
+    assert_images_close(b, a, min_psnr=60.0, max_diff_frac=0.002)
+
+
+def test_pallas_debug_mode(checker_texture):
+    verts, uvs, _, mvp, _ = scene(density=3, size=(24, 32), seed=2)
+    a, b = _render_both(verts, uvs, mvp.astype(np.float32),
+                        checker_texture.astype(np.float32), 64, 48, CFG,
+                        mode="debug_z")
+    assert_images_close(b, a, min_psnr=60.0, max_diff_frac=0.002)
+    assert (b[..., 0] == b[..., 1]).all()
+
+
+def test_pallas_edge_cull(checker_texture):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, edge_cull_threshold=0.5)
+    verts, uvs, _, mvp, _ = scene(density=3, size=(24, 32), seed=3)
+    a, b = _render_both(verts, uvs, mvp.astype(np.float32),
+                        checker_texture.astype(np.float32), 64, 48, cfg)
+    assert_images_close(b, a, min_psnr=60.0, max_diff_frac=0.002)
+
+
+def test_pallas_batched(checker_texture):
+    verts, uvs, _, mvp, _ = scene(density=3, size=(24, 32), seed=4)
+    n = int(np.sqrt(len(verts)))
+    mvps = np.stack([
+        (mvp @ np.asarray(transforms.rotation(np.deg2rad(a), axis=Axis.Y)))
+        for a in (0.0, 2.0)
+    ]).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        frames = np.asarray(
+            raster_pallas.render_frames_pallas(
+                mvps, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+                checker_texture.astype(np.float32), 64, 48, CFG,
+            )
+        )
+    assert frames.shape == (2, 48, 64, 4)
+    assert not np.array_equal(frames[0], frames[1])

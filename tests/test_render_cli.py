@@ -138,6 +138,9 @@ def test_render_clip_streaming_callback(checker_texture):
 def test_cli_end_to_end(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["DEPTHRENDERER_PLATFORM"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     out = tmp_path / "frames"
     res = subprocess.run(
         [sys.executable, "-m", "depthrenderer_tpu",

@@ -13,6 +13,7 @@ Usage: python bench.py [--density 10] [--width 1920] [--height 1080] [--frames 6
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -41,9 +42,15 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: repeat bench runs skip the multi-minute
+    # remote compiles.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from depthrenderer_tpu import animation, io as dio, meshgen, transforms
     from depthrenderer_tpu.ops.common import suggest_config
-    from depthrenderer_tpu.ops.raster_grid import render_frames_grid
+    from depthrenderer_tpu.ops.raster_grid import measured_config, render_frames_grid
     from depthrenderer_tpu.ops.raster_pallas import render_frames_pallas
 
     dev = jax.devices()[0]
@@ -87,8 +94,8 @@ def main():
     cam = np.asarray(transforms.translation(dz=-10.0))
     mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
 
-    config = suggest_config(n, args.width, args.height)
-    log(f"config: {config}")
+    config = measured_config(mvps, np.asarray(vgrid), args.width, args.height)
+    log(f"config (measured windows): {config}")
 
     render_fn = render_frames_pallas if args.impl == "pallas" else render_frames_grid
     render = lambda m: render_fn(  # noqa: E731

@@ -29,6 +29,7 @@ Semantics are identical to :mod:`.raster_reference` (the numpy oracle) and
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -59,14 +60,12 @@ def _project_attribute_grid(mvp, vertex_grid, uv_grid, width, height):
     ).astype(jnp.float32)
 
 
-def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
-                  num_tile_cols):
-    """Per-tile candidate-window starts from exact projected patch bboxes.
+def _tile_bounds(xs, ys, config: RasterConfig, width, height, num_tile_rows,
+                 num_tile_cols):
+    """Exact per-tile candidate cell bounds (r0, r1, c0, c1) from patch bboxes.
 
-    :param xs, ys: (R, C) projected window x/y coordinate grids (padded).
-    Returns (wr, wc) int32 arrays of shape (num_tiles,) — the cell-row/col start of
-    each tile's candidate window — plus the per-tile overflow flag (window smaller
-    than the true candidate span; dropped triangles possible).
+    :param xs, ys: (R, C) projected x/y coordinate grids (padded to patch
+        multiples). Returns (tiles_r, tiles_c)-shaped int32 arrays in cell units.
     """
     ps = config.patch_size
     cells_r = xs.shape[0] - 1
@@ -119,14 +118,91 @@ def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
     r1 = (jnp.where(empty, 0, r1p) + 1) * ps
     c0 = jnp.where(empty, 0, c0p) * ps
     c1 = (jnp.where(empty, 0, c1p) + 1) * ps
+    return r0, r1, c0, c1
+
+
+def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
+                  num_tile_cols):
+    """Per-tile candidate-window starts from exact projected patch bboxes.
+
+    :param xs, ys: (R, C) projected coordinate grids (padded). Returns (wr, wc)
+    int32 arrays of shape (num_tiles,) — the cell-row/col start of each tile's
+    candidate window — plus the per-tile overflow flag (window smaller than the
+    true candidate span; dropped triangles possible).
+    """
+    cells_r = xs.shape[0] - 1
+    cells_c = xs.shape[1] - 1
+    r0, r1, c0, c1 = _tile_bounds(xs, ys, config, width, height, num_tile_rows,
+                                  num_tile_cols)
 
     wr_cap = cells_r - config.window_rows
     wc_cap = cells_c - config.window_cols
     wr = jnp.clip((r0 + r1 - config.window_rows) // 2, 0, max(wr_cap, 0))
     wc = jnp.clip((c0 + c1 - config.window_cols) // 2, 0, max(wc_cap, 0))
-    overflow = (((r1 - r0) > config.window_rows) | ((c1 - c0) > config.window_cols)) & ~empty
+    overflow = ((r1 - r0) > config.window_rows) | ((c1 - c0) > config.window_cols)
 
     return wr.reshape(-1), wc.reshape(-1), overflow.reshape(-1)
+
+
+def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
+                    quantile: float = 0.99, **overrides) -> RasterConfig:
+    """Size the candidate window from *measured* per-tile candidate spans.
+
+    The heuristic :func:`common.suggest_config` must assume worst-case parallax;
+    measuring the actual projected spans over a sample of the clip's MVPs sizes
+    the window to reality (the dominant cost driver: per-tile work is
+    O(pixels x window cells)).
+
+    The window covers the ``quantile`` of tile spans rather than the maximum:
+    cells crossing a strong depth discontinuity project to enormous screen bboxes
+    (perspective division scales their extent by up to far/near across the cell),
+    so a handful of tiles can demand a window 3x the typical span. Those few
+    overflow tiles keep a *centred* window — they drop only their most-distant
+    candidates, confining any artefact to the immediate neighbourhood of the depth
+    discontinuity (exactly the region depth-edge culling removes, and that the
+    PSNR criterion excludes). Set ``quantile=1.0`` for strictly lossless binning.
+    """
+    import numpy as np
+
+    from .common import suggest_config
+
+    mvps = np.asarray(mvps, np.float32).reshape(-1, 4, 4)
+    n = vertex_grid.shape[0]
+    probe = suggest_config(n, width, height, **dict(overrides))
+    ps = probe.patch_size
+
+    take = np.linspace(0, len(mvps) - 1, min(sample, len(mvps))).astype(int)
+    r_spans, c_spans = [], []
+
+    cells = max(_ceil_to(n - 1, ps), ps)
+    th, tw = probe.tile_h, probe.tile_w
+    ntr = -(-height // th)
+    ntc = -(-width // tw)
+
+    for k in take:
+        sx, sy, _, _ = common.project_vertices(vertex_grid, mvps[k], width, height)
+        sx = jnp.pad(sx, ((0, cells + 1 - n), (0, cells + 1 - n)), mode="edge")
+        sy = jnp.pad(sy, ((0, cells + 1 - n), (0, cells + 1 - n)), mode="edge")
+        rs, cs = _tile_spans(sx, sy, probe, width, height, ntr, ntc)
+        r_spans.append(np.asarray(rs).ravel())
+        c_spans.append(np.asarray(cs).ravel())
+
+    q = min(max(quantile, 0.0), 1.0) * 100.0
+    max_r = int(np.percentile(np.concatenate(r_spans), q))
+    max_c = int(np.percentile(np.concatenate(c_spans), q))
+
+    rows = min(cells, _ceil_to(max(max_r + ps, 8), 8))
+    cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # band_cols multiple
+    return dataclasses.replace(probe, window_rows=rows, window_cols=cols)
+
+
+@partial(jax.jit, static_argnames=("config", "width", "height", "num_tile_rows",
+                                   "num_tile_cols"))
+def _tile_spans(xs, ys, config, width, height, num_tile_rows, num_tile_cols):
+    """Per-tile candidate-cell spans (rows, cols) for one view."""
+    r0, r1, c0, c1 = _tile_bounds(xs, ys, config, width, height, num_tile_rows,
+                                  num_tile_cols)
+    return r1 - r0, c1 - c0
 
 
 def _tile_planes(vg, wr, wc, config: RasterConfig):

@@ -40,7 +40,7 @@ _FAR = float(common.FAR_SENTINEL)  # already a Python float
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _prep_tile_planes(vg_cm, wr, wc, config: RasterConfig):
+def _prep_tile_planes(vg_cm, wr, wc, px0, py0, height, config: RasterConfig):
     """Plane coefficients for one tile's candidate window, TPU-layout-native.
 
     Everything is computed coefficient-wise on (WR, WC) cell grids and stacked with
@@ -119,8 +119,12 @@ def _prep_tile_planes(vg_cm, wr, wc, config: RasterConfig):
         covs.append(jnp.stack(cov_rows).reshape(12, WR * WC))
         attrs.append(jnp.stack(attr_rows).reshape(12, WR * WC))
 
+    # 1D row-band chunking: chunks are runs of TC cells in window row-major order,
+    # diagonal classes interleaved at chunk granularity. (A 2D row x column band
+    # variant was tried and measured slower — small bands pay too much per-band
+    # loop overhead; full-width chunks at TC=256 lanes amortise best.)
     cells = WR * WC
-    TC = min(config.chunk_tris // 2, cells)  # cells per chunk (×2 tris per cell)
+    TC = min(config.chunk_tris // 2, cells)  # cells per chunk (x2 diag chunks)
     pad = (-cells) % TC
     if pad:
         never = jnp.zeros((12, pad), jnp.float32)
@@ -132,19 +136,44 @@ def _prep_tile_planes(vg_cm, wr, wc, config: RasterConfig):
 
     def chunked(arrs):
         # (2, 12, nc*TC) -> (nc, 2, 12, TC) -> (2*nc, 12, TC), diag-major in chunk.
-        s = jnp.stack(arrs)  # (2, 12, nc*TC)
+        s = jnp.stack(arrs)
         s = s.reshape(2, 12, nc, TC).transpose(2, 0, 1, 3)
         return s.reshape(nc * 2, 12, TC)
 
-    return chunked(covs), chunked(attrs)
+    cov_b = chunked(covs)
+    attr_b = chunked(attrs)
+
+    # Active chunk range from the *exact* window-column y extents (global full-row
+    # extents are far too loose once the camera tilts: a 0.5° x-rotation inflates a
+    # full row's extent by dozens of cell heights).
+    row_ymin = jnp.minimum(jnp.min(sy[:-1, :], axis=1), jnp.min(sy[1:, :], axis=1))
+    row_ymax = jnp.maximum(jnp.max(sy[:-1, :], axis=1), jnp.max(sy[1:, :], axis=1))
+    tile_ymin = height - (py0.astype(jnp.float32) + config.tile_h - 0.5)
+    tile_ymax = height - (py0.astype(jnp.float32) + 0.5)
+    del px0  # column skipping not worthwhile at full-width chunks
+
+    rows_per_chunk = -(-TC // WC) + 1  # conservative row span of one cell chunk
+    chunk_first_row = (jnp.arange(nc) * TC) // WC
+    idx = jnp.clip(chunk_first_row[:, None] + jnp.arange(rows_per_chunk)[None, :],
+                   0, WR - 1)
+    cymin = jnp.min(row_ymin[idx], axis=1)
+    cymax = jnp.max(row_ymax[idx], axis=1)
+    active = (cymax >= tile_ymin) & (cymin <= tile_ymax)  # (nc,)
+    any_active = jnp.any(active)
+    first = jnp.argmax(active)
+    last = (nc - 1) - jnp.argmax(active[::-1])
+    jlo = jnp.where(any_active, 2 * first, 0).astype(jnp.int32)
+    jhi = jnp.where(any_active, 2 * (last + 1), 0).astype(jnp.int32)
+
+    return cov_b, attr_b, jlo, jhi
 
 
 def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
                  *, config: RasterConfig, height: int):
     """One grid step per screen tile; inner fori_loop over this tile's active
-    triangle chunks (the per-chunk grid variant paid ~8 µs pipeline overhead per
-    step; the loop form runs ~2x faster and lets the loop bounds skip chunks whose
-    cell rows cannot intersect the tile — typically more than half the window)."""
+    triangle chunks. (A per-chunk grid dimension paid ~8 µs pipeline overhead per
+    step; the loop form runs ~2x faster, and the exact active ranges skip chunks
+    whose cell rows cannot intersect the tile.)"""
     th, tw = config.tile_h, config.tile_w
     P = th * tw
     TC = cov_ref.shape[-1]
@@ -212,6 +241,7 @@ def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
         jnp.full((P, 1), _FAR, jnp.float32),
         jnp.zeros((P, 4), jnp.float32),
     )
+
     best_z, best_attr = jax.lax.fori_loop(jlo_ref[i], jhi_ref[i], body, init)
 
     cov_flag = jnp.where(best_z < _FAR, 1.0, 0.0)
@@ -263,45 +293,6 @@ def raster_pairs_pallas(cov_planes, attr_planes, px0, py0, jlo, jhi, height,
       jhi.astype(jnp.int32), cov_planes, attr_planes)
 
 
-def _active_chunk_ranges(sy_pad, wr, py0, num_chunks, height, config: RasterConfig):
-    """Per-tile [jlo, jhi) bounds over triangle chunks that can touch the tile.
-
-    Chunks are bands of window cell rows; a chunk whose projected y-extent
-    (conservatively taken over the *full* grid rows it spans) misses the tile's
-    pixel-centre y-range cannot cover any pixel, so the kernel's fori_loop skips it.
-
-    :param sy_pad: (R, C) padded projected y grid.
-    :param wr: (ntiles,) window row origins; :param py0: (ntiles,) tile image rows.
-    """
-    WR, WC = config.window_rows, config.window_cols
-    th = config.tile_h
-    nc = num_chunks // 2  # cell chunks (two diagonal chunks each)
-    cells_per_chunk = (WR * WC) // nc if nc else WR * WC
-
-    # Global per-cell-row y extents (rows r and r+1 of the vertex grid).
-    row_min = jnp.minimum(jnp.min(sy_pad[:-1, :], axis=1), jnp.min(sy_pad[1:, :], axis=1))
-    row_max = jnp.maximum(jnp.max(sy_pad[:-1, :], axis=1), jnp.max(sy_pad[1:, :], axis=1))
-
-    tile_ymin = height - (py0.astype(jnp.float32) + th - 0.5)
-    tile_ymax = height - (py0.astype(jnp.float32) + 0.5)
-
-    actives = []
-    for k in range(nc):
-        r0 = (k * cells_per_chunk) // WC
-        r1 = min(((k + 1) * cells_per_chunk - 1) // WC, WR - 1)
-        rows = wr[:, None] + jnp.arange(r0, r1 + 1)[None, :]  # (ntiles, span)
-        ymin = jnp.min(jnp.take(row_min, rows, axis=0), axis=1)
-        ymax = jnp.max(jnp.take(row_max, rows, axis=0), axis=1)
-        actives.append((ymax >= tile_ymin) & (ymin <= tile_ymax))
-    active = jnp.stack(actives, axis=1)  # (ntiles, nc)
-
-    any_active = jnp.any(active, axis=1)
-    first = jnp.argmax(active, axis=1)
-    last = (nc - 1) - jnp.argmax(active[:, ::-1], axis=1)
-    jlo = jnp.where(any_active, 2 * first, 0).astype(jnp.int32)
-    jhi = jnp.where(any_active, 2 * (last + 1), 0).astype(jnp.int32)
-    return jlo, jhi
-
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config"))
 def _prep_stage(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
@@ -337,11 +328,9 @@ def _prep_stage(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
     py0 = jnp.repeat(jnp.arange(ntr, dtype=jnp.int32) * th, ntc)
     px0 = jnp.tile(jnp.arange(ntc, dtype=jnp.int32) * tw, ntr)
 
-    cov, attr = jax.vmap(
-        lambda r, c: _prep_tile_planes(vg_cm, r, c, config)
-    )(wr, wc)  # each (ntiles, nchunks, 12, TC)
-
-    jlo, jhi = _active_chunk_ranges(vg_cm[1], wr, py0, cov.shape[1], height, config)
+    cov, attr, jlo, jhi = jax.vmap(
+        lambda r, c, x, y: _prep_tile_planes(vg_cm, r, c, x, y, height, config)
+    )(wr, wc, px0, py0)  # cov/attr: (ntiles, nchunks, 12, TC)
     return cov, attr, px0, py0, jlo, jhi
 
 

@@ -246,7 +246,20 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
 
     assert mesh.is_grid, "render_clip requires a grid mesh (use rasterize_soup otherwise)"
     vgrid, uvgrid, n = _grid_arrays(mesh)
-    cfg = config if config is not None else suggest_config(n, width, height)
+    if config is not None:
+        cfg = config
+    else:
+        # Size the candidate windows from the clip's actual camera path — roughly
+        # halves the rasteriser's work vs the worst-case heuristic.
+        import jax.numpy as jnp
+
+        proj_np = np.asarray(projection, np.float32)
+        model_np = np.asarray(mesh.transform, np.float32)
+        sample_mvps = np.stack([
+            proj_np @ np.asarray(view_batch[k], np.float32) @ model_np
+            for k in np.linspace(0, len(view_batch) - 1, min(3, len(view_batch))).astype(int)
+        ])
+        cfg = raster_grid.measured_config(sample_mvps, vgrid, width, height)
     # One-time device residency for the scene (repeat host->device transfers are
     # expensive, especially through a remote-TPU tunnel).
     vgrid = jax.device_put(vgrid)

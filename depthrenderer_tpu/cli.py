@@ -85,6 +85,11 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
                    help="Also dump every Nth frame as PNG.")
+    p.add_argument("--overlay-noise", type=int, nargs="*", default=None,
+                   dest="overlay_noise", metavar="SCALE",
+                   help="Overlay Perlin noise on the depth map at the given "
+                        "scales (the reference's depth-augmentation path, e.g. "
+                        "--overlay-noise 32 16 8).")
     return p
 
 
@@ -104,6 +109,15 @@ def main(argv=None):
     colour = dio.load_colour(args.image_path)
     depth = dio.load_depth(args.depth_path)
     depth = dio.resize(depth, colour.shape)
+
+    if args.overlay_noise:
+        from .utils import overlay_noise
+
+        # Reference: depth = overlay_noise(overlay_noise(...), ...) (__main__.py:88).
+        d = depth[..., None]
+        for scale in args.overlay_noise:
+            d = overlay_noise(d, scale=scale, seed=0)
+        depth = d[..., 0]
 
     texture = Texture(colour)
     mesh = Mesh.from_texture(texture, depth_map=depth, density=args.mesh_density,

@@ -301,3 +301,35 @@ def test_grid_batched_frames(checker_texture):
             )
         )
         np.testing.assert_array_equal(frames[k], single)
+
+
+def test_wireframe_mode(checker_texture):
+    verts, uvs, idx, mvp, _ = scene(density=2, size=(16, 16))
+    tex = checker_texture.astype(np.float32)
+    wire = np.asarray(raster_soup.rasterize_soup(verts, uvs, idx, mvp, tex, 48, 48,
+                                                 mode="wireframe"))
+    full = np.asarray(raster_soup.rasterize_soup(verts, uvs, idx, mvp, tex, 48, 48))
+    oracle = raster_reference.rasterize_reference(verts, uvs, idx, mvp,
+                                                  checker_texture, 48, 48,
+                                                  mode="wireframe")
+    bg = np.array([0, 0, 0, 255], np.uint8)
+    wire_cov = ~(wire == bg).all(-1)
+    full_cov = ~(full == bg).all(-1)
+    # Wireframe covers strictly less than fill, but is non-empty.
+    assert 0 < wire_cov.sum() < full_cov.sum()
+    assert_images_close(wire, oracle, min_psnr=35.0)
+
+
+def test_measured_config_covers_spans(checker_texture):
+    # measured_config must produce windows that fit the actual candidate spans
+    # (quantile=1.0 => zero overflow tiles).
+    verts, uvs, idx, mvp, _ = scene(density=4, size=(48, 64), seed=7)
+    n = 17
+    mvps = np.stack([mvp, mvp @ np.asarray(
+        transforms.rotation(np.deg2rad(10), axis=Axis.Y))]).astype(np.float32)
+    cfg = raster_grid.measured_config(mvps, verts.reshape(n, n, 3), 96, 72,
+                                      quantile=1.0, tile_h=8, tile_w=32)
+    _, stats = raster_grid.render_frame_grid(
+        mvps[1], verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+        checker_texture.astype(np.float32), 96, 72, cfg, with_stats=True)
+    assert int(stats["overflow_tiles"]) == 0

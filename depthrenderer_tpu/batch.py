@@ -77,6 +77,9 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                    help="Skip models already recorded in the output manifest.")
     p.add_argument("--no-post", action="store_true",
                    help="Skip mosaic/concat/paired post-processing.")
+    p.add_argument("--sharded", action="store_true",
+                   help="Shard the models (scenes) over all available devices via "
+                        "shard_map instead of rendering them sequentially.")
     return p
 
 
@@ -159,6 +162,17 @@ def main(argv=None):
     video_sources = []
     model_names = []
 
+    if args.sharded:
+        video_sources, model_names = _render_sharded(
+            args, models, colour, texture, camera, views, num_frames, png_every,
+            out_w, out_h, config, video_output_path, image_writer, manifest,
+            manifest_path,
+        )
+        image_writer.cleanup()
+        _postprocess(args, video_sources, model_names, image_name, out_w, out_h)
+        log("Batch rendering complete.")
+        return 0
+
     for model_name, depth_path in models:
         model_names.append(model_name)
         video_path = os.path.join(video_output_path, f"{model_name}.avi")
@@ -209,23 +223,108 @@ def main(argv=None):
 
     image_writer.cleanup()
 
-    if not args.no_post:
-        create = postprocess
-        create.create_mosaic_video(video_sources,
-                                   os.path.join(args.output_path, "mosaic"),
-                                   image_name, (out_h, out_w), fps=args.fps)
-        create.create_concat_video(video_sources,
-                                   os.path.join(args.output_path, "concat"),
-                                   image_name)
-        if "ground_truth" in model_names:
-            create.create_paired_videos(video_sources,
-                                        os.path.join(args.output_path, "paired"),
-                                        image_name, model_names)
-        else:
-            log("No 'ground_truth' model; skipping paired videos.")
+    _postprocess(args, video_sources, model_names, image_name, out_w, out_h)
 
     log("Batch rendering complete.")
     return 0
+
+
+def _postprocess(args, video_sources, model_names, image_name, out_w, out_h):
+    if args.no_post:
+        return
+    postprocess.create_mosaic_video(video_sources,
+                                    os.path.join(args.output_path, "mosaic"),
+                                    image_name, (out_h, out_w), fps=args.fps)
+    postprocess.create_concat_video(video_sources,
+                                    os.path.join(args.output_path, "concat"),
+                                    image_name)
+    if "ground_truth" in model_names:
+        postprocess.create_paired_videos(video_sources,
+                                         os.path.join(args.output_path, "paired"),
+                                         image_name, model_names)
+    else:
+        log("No 'ground_truth' model; skipping paired videos.")
+
+
+def _render_sharded(args, models, colour, texture, camera, views, num_frames,
+                    png_every, out_w, out_h, config, video_output_path,
+                    image_writer, manifest, manifest_path):
+    """Scene-parallel batch rendering: all models sharded over the device mesh.
+
+    The TPU-slice replacement for the reference's sequential per-model loop: each
+    device renders its shard of scenes for a chunk of views; hosts stream frames to
+    the per-model writers. View chunking bounds device memory regardless of scene
+    count or resolution.
+    """
+    import jax
+
+    from .parallel import make_render_mesh, render_scenes_sharded
+
+    device_mesh = make_render_mesh()
+    log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s).")
+
+    base_mesh = None
+    vgrids, model_names, video_sources, writers, png_tasks = [], [], [], [], []
+    n = 2 ** args.mesh_density + 1
+
+    for model_name, depth_path in models:
+        model_names.append(model_name)
+        video_path = os.path.join(video_output_path, f"{model_name}.avi")
+        video_sources.append(video_path)
+
+        depth = dio.resize(dio.load_depth(depth_path), colour.shape)
+        if base_mesh is None:
+            base_mesh = Mesh.from_texture(texture, depth, density=args.mesh_density)
+            mesh = base_mesh
+        else:
+            mesh = Mesh.from_copy_with_new_depth(base_mesh, depth)
+        mesh.vertices[:, 2] = mesh.vertices[:, 2] * args.displacement_factor
+        vgrids.append(mesh.vertices.reshape(n, n, 3))
+
+        writers.append(AsyncVideoWriter(video_path, size=(out_w, out_h),
+                                        fps=args.fps, codec=args.codec))
+        frames_dir = os.path.join(args.output_path, "frames", model_name)
+        os.makedirs(frames_dir, exist_ok=True)
+        png_tasks.append(RecurringTask(
+            lambda frame, idx, d=frames_dir: image_writer.write(
+                frame, os.path.join(d, f"{idx:06d}.png")),
+            frequency=png_every,
+        ))
+
+    S = len(models)
+    uvgrid = base_mesh.texture_coordinates.reshape(n, n, 2)
+    uvgrids = jax.device_put(np.broadcast_to(uvgrid, (S,) + uvgrid.shape))
+    tex = np.asarray(colour, np.float32)
+    textures = jax.device_put(np.broadcast_to(tex, (S,) + tex.shape))
+    vgrids = jax.device_put(np.stack(vgrids))
+
+    proj = np.asarray(camera.projection, np.float32)
+    mvps_all = (proj[None] @ np.asarray(views, np.float32)).astype(np.float32)
+
+    t0 = time.time()
+    chunk = max(1, args.frame_batch)
+    for start in range(0, num_frames, chunk):
+        stop = min(start + chunk, num_frames)
+        mvps = np.broadcast_to(mvps_all[start:stop], (S, stop - start, 4, 4)).copy()
+        frames = np.asarray(render_scenes_sharded(
+            device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
+            frame_batch=stop - start,
+        ))  # (S, Tc, H, W, 4)
+        for s in range(S):
+            for k in range(stop - start):
+                writers[s].write(frames[s, k])
+                png_tasks[s](frames[s, k], start + k)
+
+    for s, model_name in enumerate(model_names):
+        writers[s].cleanup()
+        manifest[model_name] = {"frames": num_frames, "video": video_sources[s]}
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    dt = time.time() - t0
+    total = S * num_frames
+    log(f"Rendered {total} frames ({S} scenes x {num_frames}) in {dt:.2f}s "
+        f"({total / dt:.1f} frames/s aggregate).")
+    return video_sources, model_names
 
 
 if __name__ == "__main__":

@@ -193,7 +193,14 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
 
     rows = min(cells, _ceil_to(max(max_r + ps, 8), 8))
     cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # band_cols multiple
-    return dataclasses.replace(probe, window_rows=rows, window_cols=cols)
+    # Large windows must shrink the streaming chunk to stay inside the Pallas
+    # kernel's VMEM budget (block bytes scale with window area; pair arrays with
+    # chunk size).
+    chunk = probe.chunk_tris
+    if rows * cols > 6144:
+        chunk = min(chunk, 256)
+    return dataclasses.replace(probe, window_rows=rows, window_cols=cols,
+                               chunk_tris=chunk)
 
 
 @partial(jax.jit, static_argnames=("config", "width", "height", "num_tile_rows",

@@ -62,7 +62,8 @@ def render_frame_inverse(mvp, vertex_grid, uv_grid, texture_f32, width, height,
 
     qx_all, qy_all = common.pixel_centers(width, height)
     total = width * height
-    chunk = min(pixel_chunk, total)
+    total_aligned = -(-total // 128) * 128
+    chunk = min(pixel_chunk, total_aligned)
     pad = (-total) % chunk
     qx_all = jnp.pad(qx_all.reshape(-1), (0, pad))
     qy_all = jnp.pad(qy_all.reshape(-1), (0, pad))
@@ -89,13 +90,18 @@ def _inverse_pixels(qx, qy, sx, sy, z, inv_w, uw, vw, zmw, row_y, col_x, n,
                     newton_iters, nbhd, k_epi):
     """The per-pixel pipeline for one flat pixel chunk; returns (covered, u, v, zm)."""
     P = qx.shape[0]
+    # TPU gather throughput is strongly shape-dependent (measured 0.2 G/s for 1D /
+    # lane-unaligned index arrays vs 50-90 G/s for 2D 128-lane-aligned ones), so
+    # the whole pipeline runs on (P/128, 128)-shaped pixels and candidate arrays
+    # keep the pixel axes last.
+    assert P % 128 == 0, P
+    qx = qx.reshape(P // 128, 128)
+    qy = qy.reshape(P // 128, 128)
 
     r0 = jnp.interp(qy, row_y[::-1], jnp.arange(n, dtype=jnp.float32)[::-1])
     c0 = jnp.interp(qx, col_x, jnp.arange(n, dtype=jnp.float32))
 
-    # All grid reads use flat jnp.take — XLA lowers 1D-index gathers to the fast
-    # TPU path; 2D advanced indexing takes a catastrophically slow general-gather
-    # path (measured 7 s/frame vs ms).
+    # All grid reads use flat jnp.take with the 2D pixel shape.
     sx_f, sy_f = sx.reshape(-1), sy.reshape(-1)
     z_f, invw_f = z.reshape(-1), inv_w.reshape(-1)
     uw_f, vw_f, zmw_f = uw.reshape(-1), vw.reshape(-1), zmw.reshape(-1)
@@ -133,13 +139,16 @@ def _inverse_pixels(qx, qy, sx, sy, z, inv_w, uw, vw, zmw, row_y, col_x, n,
 
     (r_est, c_est), _ = jax.lax.scan(newton_step, (r0, c0), None, length=newton_iters)
 
-    # -- 3. candidate cells ---------------------------------------------------------
+    # -- 3. candidate cells (candidate axis FIRST; pixel axes stay lane-aligned) ----
     ri = jnp.clip(jnp.floor(r_est).astype(jnp.int32), 0, n - 2)
     ci = jnp.clip(jnp.floor(c_est).astype(jnp.int32), 0, n - 2)
 
     offs = jnp.arange(-nbhd, nbhd + 1, dtype=jnp.int32)
-    cand_r = (ri[:, None, None] + offs[None, :, None]).reshape(P, -1)
-    cand_c = (ci[:, None, None] + offs[None, None, :]).reshape(P, -1)
+    nb = 2 * nbhd + 1
+    grid_or = jnp.repeat(offs, nb)      # row offsets per neighbourhood candidate
+    grid_oc = jnp.tile(offs, nb)        # col offsets
+    cand_r = ri[None] + grid_or[:, None, None]
+    cand_c = ci[None] + grid_oc[:, None, None]
 
     if k_epi > 0:
         # Local parallax direction in grid coordinates: J⁻¹ · screen-x.
@@ -153,22 +162,24 @@ def _inverse_pixels(qx, qy, sx, sy, z, inv_w, uw, vw, zmw, row_y, col_x, n,
         norm = jnp.where(norm > 1e-12, norm, 1.0)
         dir_c = dir_c / norm
         dir_r = dir_r / norm
-        ts = jnp.concatenate([jnp.arange(1, k_epi + 1), -jnp.arange(1, k_epi + 1)])
-        epi_r = (r_est[:, None] + dir_r[:, None] * ts[None, :]).astype(jnp.int32)
-        epi_c = (c_est[:, None] + dir_c[:, None] * ts[None, :]).astype(jnp.int32)
-        cand_r = jnp.concatenate([cand_r, epi_r], axis=1)
-        cand_c = jnp.concatenate([cand_c, epi_c], axis=1)
+        ts = jnp.concatenate([jnp.arange(1, k_epi + 1), -jnp.arange(1, k_epi + 1)]
+                             ).astype(jnp.float32)
+        epi_r = (r_est[None] + dir_r[None] * ts[:, None, None]).astype(jnp.int32)
+        epi_c = (c_est[None] + dir_c[None] * ts[:, None, None]).astype(jnp.int32)
+        cand_r = jnp.concatenate([cand_r, epi_r], axis=0)
+        cand_c = jnp.concatenate([cand_c, epi_c], axis=0)
 
     cand_r = jnp.clip(cand_r, 0, n - 2)
     cand_c = jnp.clip(cand_c, 0, n - 2)
-    C = cand_r.shape[1]
+    C = cand_r.shape[0]
+    psh = ri.shape  # (P/128, 128)
 
     # -- 4. exact coverage over candidates (2 triangles per cell) --------------------
     def corner(gf, dr, dc):
-        return take(gf, cand_r + dr, cand_c + dc)  # (P, C)
+        return take(gf, cand_r + dr, cand_c + dc)  # (C, P/128, 128)
 
-    best_z = jnp.full((P,), common.FAR_SENTINEL, jnp.float32)
-    best = [jnp.zeros((P,), jnp.float32) for _ in range(4)]  # uw, vw, invw, zmw
+    best_z = jnp.full(psh, common.FAR_SENTINEL, jnp.float32)
+    best = [jnp.zeros(psh, jnp.float32) for _ in range(4)]  # uw, vw, invw, zmw
 
     for diag in (0, 1):
         if diag == 0:  # (a, b, c) = (r,c), (r+1,c), (r,c+1)
@@ -179,11 +190,10 @@ def _inverse_pixels(qx, qy, sx, sy, z, inv_w, uw, vw, zmw, row_y, col_x, n,
         y0, y1, y2 = (corner(sy_f, *o) for o in cs)
         z0, z1, z2 = (corner(z_f, *o) for o in cs)
 
-        area2 = (x1 - x0) * (qy[:, None] - y0) - (y1 - y0) * (qx[:, None] - x0)
-        # Standard edge functions at q.
-        e0 = (x2 - x1) * (qy[:, None] - y1) - (y2 - y1) * (qx[:, None] - x1)
-        e1 = (x0 - x2) * (qy[:, None] - y2) - (y0 - y2) * (qx[:, None] - x2)
-        e2 = (x1 - x0) * (qy[:, None] - y0) - (y1 - y0) * (qx[:, None] - x0)
+        # Standard edge functions at q (candidate axis leading).
+        e0 = (x2 - x1) * (qy[None] - y1) - (y2 - y1) * (qx[None] - x1)
+        e1 = (x0 - x2) * (qy[None] - y2) - (y0 - y2) * (qx[None] - x2)
+        e2 = (x1 - x0) * (qy[None] - y0) - (y1 - y0) * (qx[None] - x0)
         a2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
         valid = a2 > 1e-12
         inv_a = jnp.where(valid, 1.0 / jnp.where(valid, a2, 1.0), 0.0)
@@ -193,21 +203,27 @@ def _inverse_pixels(qx, qy, sx, sy, z, inv_w, uw, vw, zmw, row_y, col_x, n,
         zz = l0 * z0 + l1 * z1 + l2 * z2
         covered = valid & (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (zz >= -1) & (zz <= 1)
         key = jnp.where(covered, zz, common.FAR_SENTINEL)
-        kmin = jnp.min(key, axis=1)
-        arg = jnp.argmin(key, axis=1)
-        ar = jnp.arange(P)
+        kmin = jnp.min(key, axis=0)
+        # Winner payload via a first-match one-hot over the (small) candidate axis
+        # — dense, no per-pixel gathers.
+        first = (key == kmin[None]) & covered
+        first &= jnp.cumsum(first, axis=0) == 1
+        fw = first.astype(jnp.float32)
         better = kmin < best_z
-        l0w, l1w, l2w = l0[ar, arg], l1[ar, arg], l2[ar, arg]
+
+        def pick(vals):
+            return jnp.sum(fw * vals, axis=0)
+
+        l0w, l1w, l2w = pick(l0), pick(l1), pick(l2)
         for idx, gf in enumerate((uw_f, vw_f, invw_f, zmw_f)):
-            a0, a1, a2v = (take(gf, cand_r[ar, arg] + o[0], cand_c[ar, arg] + o[1])
-                           for o in cs)
-            val = l0w * a0 + l1w * a1 + l2w * a2v
+            a0, a1, a2v = (corner(gf, *o) for o in cs)
+            val = l0w * pick(a0) + l1w * pick(a1) + l2w * pick(a2v)
             best[idx] = jnp.where(better, val, best[idx])
         best_z = jnp.where(better, kmin, best_z)
 
-    covered = best_z < common.FAR_SENTINEL
+    covered = (best_z < common.FAR_SENTINEL).reshape(P)
     den = jnp.where(jnp.abs(best[2]) > 1e-30, best[2], 1.0)
-    u = best[0] / den
-    v = best[1] / den
-    z_model = best[3] / den
+    u = (best[0] / den).reshape(P)
+    v = (best[1] / den).reshape(P)
+    z_model = (best[3] / den).reshape(P)
     return covered, u, v, z_model

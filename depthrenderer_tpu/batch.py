@@ -33,7 +33,6 @@ import numpy as np
 from . import animation as anim_mod
 from . import io as dio
 from . import transforms
-from .ops.common import suggest_config
 from .render import render_clip
 from .scene import Camera, Mesh, Texture
 from .tasks import RecurringTask
@@ -69,6 +68,9 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
     p.add_argument("--fov-y", type=float, default=18.0, dest="fov_y")
     p.add_argument("--codec", choices=("MJPG", "DIB "), default="MJPG")
     p.add_argument("--frame-batch", type=int, default=8, dest="frame_batch")
+    p.add_argument("--binning-quantile", type=float, default=0.995,
+                   dest="binning_quantile",
+                   help="Candidate-window sizing quantile (1.0 = lossless).")
     p.add_argument("--edge-cull", type=float, default=None, dest="edge_cull")
     p.add_argument("--png-every-seconds", type=float, default=1.0,
                    dest="png_every_seconds",
@@ -153,8 +155,7 @@ def main(argv=None):
     times = anim_mod.frame_times(num_frames, args.fps)
     views = camera_position[None] @ np.asarray(sway.batch(times))
 
-    n = 2 ** args.mesh_density + 1
-    config = suggest_config(n, out_w, out_h, edge_cull_threshold=args.edge_cull)
+    config = None  # sized per scene from the measured camera path
     png_every = max(1, int(round(args.png_every_seconds * args.fps)))
 
     image_writer = AsyncImageWriter()
@@ -210,8 +211,10 @@ def main(argv=None):
 
         log(f"[{model_name}] rendering {num_frames} frames at {out_w}x{out_h}...")
         t0 = time.time()
-        render_clip(mesh, camera.projection, views, out_w, out_h, config=config,
-                    frame_batch=args.frame_batch, on_frames=on_frames)
+        render_clip(mesh, camera.projection, views, out_w, out_h,
+                    frame_batch=args.frame_batch, on_frames=on_frames,
+                    binning_quantile=args.binning_quantile,
+                    edge_cull_threshold=args.edge_cull)
         video_writer.cleanup()
         dt = time.time() - t0
         log(f"[{model_name}] {num_frames} frames in {dt:.2f}s "
@@ -292,6 +295,16 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
         ))
 
     S = len(models)
+    from .ops.raster_grid import measured_config
+
+    proj0 = np.asarray(camera.projection, np.float32)
+    sample_mvps = np.stack([
+        proj0 @ np.asarray(views[k], np.float32)
+        for k in np.linspace(0, len(views) - 1, min(3, len(views))).astype(int)
+    ])
+    config = measured_config(sample_mvps, vgrids[0], out_w, out_h,
+                             quantile=args.binning_quantile,
+                             edge_cull_threshold=args.edge_cull)
     uvgrid = base_mesh.texture_coordinates.reshape(n, n, 2)
     uvgrids = jax.device_put(np.broadcast_to(uvgrid, (S,) + uvgrid.shape))
     tex = np.asarray(colour, np.float32)

@@ -29,7 +29,6 @@ from . import animation as anim_mod
 from . import io as dio
 from . import transforms
 from .render import render_clip
-from .ops.common import suggest_config
 from .scene import Camera, Mesh, Texture
 from .utils import log
 from .writers import AsyncImageWriter, AsyncVideoWriter
@@ -78,6 +77,11 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                    help="AVI codec: MJPG (compact) or 'DIB ' (uncompressed).")
     p.add_argument("--frame-batch", type=int, default=8, dest="frame_batch",
                    help="Frames rendered per device dispatch (default 8).")
+    p.add_argument("--binning-quantile", type=float, default=0.995,
+                   dest="binning_quantile",
+                   help="Candidate-window sizing quantile: 1.0 = lossless "
+                        "binning (slower), lower = faster with possible speckles "
+                        "at depth edges (default 0.995).")
     p.add_argument("--edge-cull", type=float, default=None, dest="edge_cull",
                    help="Cull triangles whose model-z spread exceeds this "
                         "(depth-discontinuity edge culling).")
@@ -147,8 +151,6 @@ def main(argv=None):
     anim_batch = np.asarray(sway.batch(times))  # (T, 4, 4)
     views = camera_position[None] @ anim_batch  # camera.view = position @ anim
 
-    n = 2 ** args.mesh_density + 1
-    config = suggest_config(n, out_w, out_h, edge_cull_threshold=args.edge_cull)
 
     image_writer = AsyncImageWriter(num_workers=1)
     video_writer = None
@@ -178,8 +180,10 @@ def main(argv=None):
     log(f"Rendering {num_frames} frames at {out_w}x{out_h} "
         f"(mesh density {args.mesh_density}, {mesh.num_triangles:,d} triangles)...")
     t0 = time.time()
-    render_clip(mesh, camera.projection, views, out_w, out_h, config=config,
-                mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames)
+    render_clip(mesh, camera.projection, views, out_w, out_h,
+                mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames,
+                binning_quantile=args.binning_quantile,
+                edge_cull_threshold=args.edge_cull)
     dt = time.time() - t0
     log(f"Rendered {num_frames} frames in {dt:.2f}s ({num_frames / dt:.1f} frames/s).")
 

@@ -145,7 +145,7 @@ def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
 
 
 def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
-                    quantile: float = 0.99, **overrides) -> RasterConfig:
+                    quantile: float = 0.995, **overrides) -> RasterConfig:
     """Size the candidate window from *measured* per-tile candidate spans.
 
     The heuristic :func:`common.suggest_config` must assume worst-case parallax;
@@ -160,7 +160,10 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
     overflow tiles keep a *centred* window — they drop only their most-distant
     candidates, confining any artefact to the immediate neighbourhood of the depth
     discontinuity (exactly the region depth-edge culling removes, and that the
-    PSNR criterion excludes). Set ``quantile=1.0`` for strictly lossless binning.
+    PSNR criterion excludes). Measured trade at 1080p/d10: quantile 1.0 = fully
+    lossless but 3.4x slower (worst-case windows poison every tile); 0.99 = 3.4x
+    faster with sparse dark speckles along depth edges. The 0.995 default keeps
+    speckles rare; pass 1.0 for strictly lossless output.
     """
     import numpy as np
 

@@ -230,7 +230,8 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 config: Optional[RasterConfig] = None, mode: str = "texture",
                 frame_batch: int = 8,
                 on_frames: Optional[Callable[[int, np.ndarray], None]] = None,
-                impl: str = "auto"):
+                impl: str = "auto", binning_quantile: float = 0.995,
+                edge_cull_threshold: Optional[float] = None):
     """Batched clip rendering: the whole camera path in device-chunked batches.
 
     :param mesh: a grid :class:`Mesh`.
@@ -259,7 +260,10 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
             proj_np @ np.asarray(view_batch[k], np.float32) @ model_np
             for k in np.linspace(0, len(view_batch) - 1, min(3, len(view_batch))).astype(int)
         ])
-        cfg = raster_grid.measured_config(sample_mvps, vgrid, width, height)
+        cfg = raster_grid.measured_config(
+            sample_mvps, vgrid, width, height, quantile=binning_quantile,
+            edge_cull_threshold=edge_cull_threshold,
+        )
     # One-time device residency for the scene (repeat host->device transfers are
     # expensive, especially through a remote-TPU tunnel).
     vgrid = jax.device_put(vgrid)

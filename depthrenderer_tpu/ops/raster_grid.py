@@ -196,14 +196,22 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
 
     rows = min(cells, _ceil_to(max(max_r + ps, 8), 8))
     cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # band_cols multiple
-    # Large windows must shrink the streaming chunk to stay inside the Pallas
-    # kernel's VMEM budget (block bytes scale with window area; pair arrays with
-    # chunk size).
-    chunk = probe.chunk_tris
-    if rows * cols > 6144:
-        chunk = min(chunk, 256)
-    return dataclasses.replace(probe, window_rows=rows, window_cols=cols,
-                               chunk_tris=chunk)
+
+    # Hard VMEM budget: the kernel keeps the whole per-tile chunk list resident
+    # (2 x window_cells x 12 coeffs, double-buffered) plus the pair working set,
+    # inside the ~16 MB scoped limit. Cap the window area, shrinking the larger
+    # dimension (clips the most-distant candidates of extreme discontinuity
+    # tiles, like a lower quantile would).
+    MAX_CELLS = 10240
+    while rows * cols > MAX_CELLS and (rows > 8 or cols > 16):
+        if rows >= cols and rows > 8:
+            rows -= 8
+        elif cols > 16:
+            cols -= 16
+        else:
+            rows -= 8
+
+    return dataclasses.replace(probe, window_rows=rows, window_cols=cols)
 
 
 @partial(jax.jit, static_argnames=("config", "width", "height", "num_tile_rows",

@@ -24,4 +24,19 @@ from . import animation, io, meshgen, tasks, transforms, utils  # noqa: F401
 from .scene import Camera, Mesh, Texture  # noqa: F401
 from .transforms import Axis  # noqa: F401
 
+
+def __getattr__(name):
+    # Lazy imports for the heavier subsystems (keep `import depthrenderer_tpu`
+    # light and free of JAX backend initialisation side effects).
+    if name in ("MeshRenderer", "render_clip"):
+        from . import render
+
+        return getattr(render, name)
+    if name in ("writers", "video", "postprocess", "evaluate", "profiling",
+                "render", "parallel", "ops", "native"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __version__ = "0.1.0"

@@ -70,12 +70,17 @@ class RasterConfig:
     # largest power-of-two divisor of the window dims).
     band_rows: int = 4
     band_cols: int = 16
+    # Number of row-anchored candidate windows per tile (merged by depth). 2 covers
+    # double the row span per window — higher binning quality per VMEM byte — at
+    # ~2x coefficient memory; 1 is the default (lowest HBM footprint).
+    row_anchors: int = 1
 
     def __post_init__(self):
         assert self.tile_h > 0 and self.tile_w > 0
         assert self.window_rows > 0 and self.window_cols > 0
         assert self.chunk_tris > 0 and self.patch_size > 0
         assert self.band_rows > 0 and self.band_cols > 0
+        assert self.row_anchors in (1, 2)
 
     def effective_bands(self):
         """(band_rows, band_cols) adjusted to divide the window dims."""

@@ -145,7 +145,8 @@ def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
 
 
 def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
-                    quantile: float = 0.995, **overrides) -> RasterConfig:
+                    quantile: float = 0.995, row_anchors: int = 1,
+                    **overrides) -> RasterConfig:
     """Size the candidate window from *measured* per-tile candidate spans.
 
     The heuristic :func:`common.suggest_config` must assume worst-case parallax;
@@ -194,6 +195,10 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
     max_r = int(np.percentile(np.concatenate(r_spans), q))
     max_c = int(np.percentile(np.concatenate(c_spans), q))
 
+    # The Pallas path renders each tile with `row_anchors` row-anchored windows
+    # merged by depth, so a window only needs 1/row_anchors of the row span —
+    # lossless binning at roughly the cost of a quantile-clipped single window.
+    max_r = -(-max_r // max(row_anchors, 1))
     rows = min(cells, _ceil_to(max(max_r + ps, 8), 8))
     cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # band_cols multiple
 
@@ -211,7 +216,8 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
         else:
             rows -= 8
 
-    return dataclasses.replace(probe, window_rows=rows, window_cols=cols)
+    return dataclasses.replace(probe, window_rows=rows, window_cols=cols,
+                               row_anchors=row_anchors)
 
 
 @partial(jax.jit, static_argnames=("config", "width", "height", "num_tile_rows",

@@ -40,7 +40,7 @@ _FAR = float(common.FAR_SENTINEL)  # already a Python float
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _prep_tile_planes(vg_cm, wr, wc, px0, py0, height, config: RasterConfig):
+def _prep_tile_planes(vg_cm, wr, wc, px0, py0, row_floor, height, config: RasterConfig):
     """Plane coefficients for one tile's candidate window, TPU-layout-native.
 
     Everything is computed coefficient-wise on (WR, WC) cell grids and stacked with
@@ -159,6 +159,10 @@ def _prep_tile_planes(vg_cm, wr, wc, px0, py0, height, config: RasterConfig):
     cymin = jnp.min(row_ymin[idx], axis=1)
     cymax = jnp.max(row_ymax[idx], axis=1)
     active = (cymax >= tile_ymin) & (cymin <= tile_ymax)  # (nc,)
+    # Second-window pass: rows below `row_floor` are already covered by the first
+    # window; drop chunks that end before it (duplicates are harmless, just slow).
+    chunk_last_row = ((jnp.arange(nc) + 1) * TC - 1) // WC
+    active &= chunk_last_row >= row_floor
     any_active = jnp.any(active)
     first = jnp.argmax(active)
     last = (nc - 1) - jnp.argmax(active[::-1])
@@ -249,9 +253,11 @@ def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
     den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
     out_ref[0] = jnp.concatenate(
         [best_attr[:, 0:1] / den, best_attr[:, 1:2] / den,
-         best_attr[:, 3:4] / den, cov_flag],
+         best_attr[:, 3:4] / den, cov_flag, best_z,
+         jnp.zeros((P, 3), jnp.float32)],
         axis=1,
-    )  # (P, 4): u, v, z_model, coverage.
+    )  # (P, 8): u, v, z_model, coverage, best_z, pad — z enables multi-window
+    # merging (two row-anchored windows per tile cover spans up to 2x the window).
 
 
 @functools.partial(jax.jit, static_argnames=("config", "height"))
@@ -280,7 +286,7 @@ def raster_pairs_pallas(cov_planes, attr_planes, px0, py0, jlo, jhi, height,
             pl.BlockSpec((1, num_chunks, 12, TC), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 4), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, P, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -288,7 +294,7 @@ def raster_pairs_pallas(cov_planes, attr_planes, px0, py0, jlo, jhi, height,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles, P, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntiles, P, 8), jnp.float32),
     )(px0.astype(jnp.int32), py0.astype(jnp.int32), jlo.astype(jnp.int32),
       jhi.astype(jnp.int32), cov_planes, attr_planes)
 
@@ -322,26 +328,62 @@ def _prep_stage(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
     th, tw = config.tile_h, config.tile_w
     ntr = -(-height // th)
     ntc = -(-width // tw)
-    wr, wc, _ = raster_grid._tile_windows(vg_cm[0], vg_cm[1], config, width, height,
-                                          ntr, ntc)
+    WR, WC = config.window_rows, config.window_cols
+    cr = vg_cm.shape[1] - 1
+    cc = vg_cm.shape[2] - 1
 
+    # Per-tile candidate spans; two row-anchored windows cover row spans up to
+    # 2*WR losslessly (pass B is empty for tiles that fit one window).
+    r0, r1, c0, c1 = raster_grid._tile_bounds(vg_cm[0], vg_cm[1], config, width,
+                                              height, ntr, ntc)
+    r0, r1 = r0.reshape(-1), r1.reshape(-1)
+    c0, c1 = c0.reshape(-1), c1.reshape(-1)
+
+    wc_ = jnp.clip((c0 + c1 - WC) // 2, 0, max(cc - WC, 0))
     py0 = jnp.repeat(jnp.arange(ntr, dtype=jnp.int32) * th, ntc)
     px0 = jnp.tile(jnp.arange(ntc, dtype=jnp.int32) * tw, ntr)
 
+    if config.row_anchors == 1:
+        wr2 = jnp.clip((r0 + r1 - WR) // 2, 0, max(cr - WR, 0)).astype(jnp.int32)
+        wc2 = wc_.astype(jnp.int32)
+        px2, py2 = px0, py0
+        floors = jnp.zeros_like(wr2)
+    else:
+        wr_a = jnp.clip(r0, 0, max(cr - WR, 0))
+        wr_b = jnp.clip(r1 - WR, 0, max(cr - WR, 0))
+        wr_b = jnp.maximum(wr_b, wr_a)
+        # Pass B skips the rows pass A already covers.
+        floor_b = jnp.clip(wr_a + WR - wr_b, 0, WR)
+        # Tiles that fit one window: make pass B fully empty via floor = WR.
+        floor_b = jnp.where(r1 - r0 <= WR, WR, floor_b)
+        wr2 = jnp.concatenate([wr_a, wr_b]).astype(jnp.int32)
+        wc2 = jnp.concatenate([wc_, wc_]).astype(jnp.int32)
+        px2 = jnp.concatenate([px0, px0])
+        py2 = jnp.concatenate([py0, py0])
+        floors = jnp.concatenate([jnp.zeros_like(floor_b), floor_b]).astype(jnp.int32)
+
     cov, attr, jlo, jhi = jax.vmap(
-        lambda r, c, x, y: _prep_tile_planes(vg_cm, r, c, x, y, height, config)
-    )(wr, wc, px0, py0)  # cov/attr: (ntiles, nchunks, 12, TC)
-    return cov, attr, px0, py0, jlo, jhi
+        lambda r, c, x, y, f: _prep_tile_planes(vg_cm, r, c, x, y, f, height, config)
+    )(wr2, wc2, px2, py2, floors)  # cov/attr: (anchors*ntiles, nchunks, 12, TC)
+    return cov, attr, px2, py2, jlo, jhi
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config", "mode"))
 def _shade_stage(tiles, texture_f32, width, height, config: RasterConfig, mode: str):
-    """Stage 3 (XLA): tile assembly, bilinear texture sampling, shading."""
+    """Stage 3 (XLA): merge the two window passes by depth, assemble, shade."""
     th, tw = config.tile_h, config.tile_w
     ntr = -(-height // th)
     ntc = -(-width // tw)
+    ntiles = ntr * ntc
+    if config.row_anchors == 1:
+        merged = tiles
+    else:
+        a = tiles[:ntiles]
+        b = tiles[ntiles:]
+        take_b = b[..., 4] < a[..., 4]
+        merged = jnp.where(take_b[..., None], b, a)
     full = (
-        tiles.reshape(ntr, ntc, th, tw, 4)
+        merged[..., :4].reshape(ntr, ntc, th, tw, 4)
         .transpose(0, 2, 1, 3, 4)
         .reshape(ntr * th, ntc * tw, 4)[:height, :width]
     )

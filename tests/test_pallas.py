@@ -72,3 +72,39 @@ def test_pallas_batched(checker_texture):
         )
     assert frames.shape == (2, 48, 64, 4)
     assert not np.array_equal(frames[0], frames[1])
+
+
+def test_pallas_dual_window_lossless(checker_texture):
+    # A scene whose candidate row spans exceed one window: the dual row-anchored
+    # windows must still produce exact (lossless) coverage vs the soup oracle.
+    import dataclasses
+
+    from depthrenderer_tpu.ops import raster_soup, raster_grid as rg
+
+    rng = np.random.default_rng(9)
+    blocks = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    depth = np.kron(blocks, np.ones((12, 16), np.uint8))  # strong discontinuities
+    verts, uvs, idx = [np.asarray(a) for a in
+                       __import__("depthrenderer_tpu.meshgen", fromlist=["grid_mesh"]
+                                  ).grid_mesh(depth, 4)]
+    verts = verts.copy()
+    verts[:, 2] *= 4.0
+    n = 17
+    W, H = 96, 72
+    mvp = (np.asarray(transforms.perspective(18.0, W / H))
+           @ np.asarray(transforms.translation(dz=-10.0))).astype(np.float32)
+    tex = checker_texture.astype(np.float32)
+
+    cfg = rg.measured_config(mvp[None], verts.reshape(n, n, 3), W, H,
+                             quantile=1.0, row_anchors=2, tile_h=8, tile_w=32)
+    # The dual-anchor window must be smaller than the worst span (else the test
+    # proves nothing).
+    spans_cfg = rg.measured_config(mvp[None], verts.reshape(n, n, 3), W, H,
+                                   quantile=1.0, row_anchors=1, tile_h=8, tile_w=32)
+    assert cfg.window_rows <= spans_cfg.window_rows
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(raster_pallas.render_frame_pallas(
+            mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2), tex, W, H, cfg))
+    want = np.asarray(raster_soup.rasterize_soup(verts, uvs, idx, mvp, tex, W, H))
+    assert_images_close(got, want, min_psnr=55.0, max_diff_frac=0.01)

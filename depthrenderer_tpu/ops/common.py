@@ -65,11 +65,6 @@ class RasterConfig:
     patch_size: int = 8
     map_batch: int = 32
     edge_cull_threshold: Optional[float] = None
-    # Pallas kernel band chunking: cells iterate in (band_rows x band_cols) bands
-    # with per-tile active ranges in both axes (effective sizes fall back to the
-    # largest power-of-two divisor of the window dims).
-    band_rows: int = 4
-    band_cols: int = 16
     # Number of row-anchored candidate windows per tile (merged by depth). 2 covers
     # double the row span per window — higher binning quality per VMEM byte — at
     # ~2x coefficient memory; 1 is the default (lowest HBM footprint).
@@ -79,17 +74,7 @@ class RasterConfig:
         assert self.tile_h > 0 and self.tile_w > 0
         assert self.window_rows > 0 and self.window_cols > 0
         assert self.chunk_tris > 0 and self.patch_size > 0
-        assert self.band_rows > 0 and self.band_cols > 0
         assert self.row_anchors in (1, 2)
-
-    def effective_bands(self):
-        """(band_rows, band_cols) adjusted to divide the window dims."""
-        br, bc = self.band_rows, self.band_cols
-        while self.window_rows % br:
-            br = max(1, br // 2)
-        while self.window_cols % bc:
-            bc = max(1, bc // 2)
-        return br, bc
 
 
 def suggest_config(grid_n: int, width: int, height: int, **overrides) -> RasterConfig:
@@ -110,7 +95,7 @@ def suggest_config(grid_n: int, width: int, height: int, **overrides) -> RasterC
     cols = min(cells, int(tile_w / cell_w) + margin)
     # Round up to patch multiples for clean binning.
     rows = min(cells, -(-rows // patch) * patch)
-    cols = min(cells, -(-cols // 16) * 16)  # band_cols multiple keeps TC lane-wide
+    cols = min(cells, -(-cols // 16) * 16)  # 16-multiple keeps chunk lanes aligned
     return RasterConfig(tile_h=tile_h, tile_w=tile_w, window_rows=rows,
                         window_cols=cols, patch_size=patch, **overrides)
 

@@ -200,7 +200,7 @@ def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
     # lossless binning at roughly the cost of a quantile-clipped single window.
     max_r = -(-max_r // max(row_anchors, 1))
     rows = min(cells, _ceil_to(max(max_r + ps, 8), 8))
-    cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # band_cols multiple
+    cols = min(cells, _ceil_to(max(max_c + ps, 16), 16))  # lane-aligned chunks
 
     # Hard VMEM budget: the kernel keeps the whole per-tile chunk list resident
     # (2 x window_cells x 12 coeffs, double-buffered) plus the pair working set,

@@ -300,8 +300,7 @@ def raster_pairs_pallas(cov_planes, attr_planes, px0, py0, jlo, jhi, height,
 
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "config"))
-def _prep_stage(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
+def _prep_stage_impl(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
     """Stage 1 (XLA): project, bin, and build per-tile plane coefficients."""
     from . import raster_grid
 
@@ -368,8 +367,30 @@ def _prep_stage(mvp, vertex_grid, uv_grid, width, height, config: RasterConfig):
     return cov, attr, px2, py2, jlo, jhi
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "config", "mode"))
-def _shade_stage(tiles, texture_f32, width, height, config: RasterConfig, mode: str):
+_prep_stage = jax.jit(_prep_stage_impl,
+                      static_argnames=("width", "height", "config"))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "config"))
+def _prep_stage_batched(mvps, vertex_grid, uv_grid, width, height,
+                        config: RasterConfig):
+    """Stage 1 for a frame group: vmapped prep, (frame, tile) axes merged.
+
+    One dispatch prepares every tile of every frame in the group; the merged
+    leading axis feeds the Pallas call directly (the kernel is per-tile and does
+    not care which frame a tile belongs to). Batching exists to amortise host
+    dispatch latency — through the remote-TPU tunnel each call costs ~7 ms on the
+    host, which at VGA is more than the device compute per frame.
+    """
+    cov, attr, px0, py0, jlo, jhi = jax.vmap(
+        lambda m: _prep_stage_impl(m, vertex_grid, uv_grid, width, height, config)
+    )(mvps)
+    merge = lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])  # noqa: E731
+    return tuple(merge(a) for a in (cov, attr, px0, py0, jlo, jhi))
+
+
+def _shade_stage_impl(tiles, texture_f32, width, height, config: RasterConfig,
+                      mode: str):
     """Stage 3 (XLA): merge the two window passes by depth, assemble, shade."""
     th, tw = config.tile_h, config.tile_w
     ntr = -(-height // th)
@@ -391,6 +412,24 @@ def _shade_stage(tiles, texture_f32, width, height, config: RasterConfig, mode: 
     return common.shade(covf, u, v, zm, texture_f32, mode)
 
 
+_shade_stage = jax.jit(_shade_stage_impl,
+                       static_argnames=("width", "height", "config", "mode"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "config", "mode"))
+def _shade_stage_batched(tiles, texture_f32, width, height, config: RasterConfig,
+                         mode: str):
+    """Stage 3 for a frame group: split the merged (frame, tile) axis, vmap."""
+    ntiles = (-(-height // config.tile_h)) * (-(-width // config.tile_w))
+    per_frame = config.row_anchors * ntiles
+    tiles = tiles.reshape((tiles.shape[0] // per_frame, per_frame)
+                          + tiles.shape[1:])
+    return jax.vmap(
+        lambda t: _shade_stage_impl(t, texture_f32, width, height, config, mode)
+    )(tiles)
+
+
 def render_frame_pallas(mvp, vertex_grid, uv_grid, texture_f32, width, height,
                         config: RasterConfig = RasterConfig(), mode: str = "texture"):
     """Render one frame via the Pallas path.
@@ -408,19 +447,47 @@ def render_frame_pallas(mvp, vertex_grid, uv_grid, texture_f32, width, height,
     return _shade_stage(tiles, texture_f32, width, height, config, mode)
 
 
+def _coeff_bytes_per_frame(width, height, config: RasterConfig) -> int:
+    """HBM footprint of one frame's plane-coefficient buffers (cov + attr)."""
+    ntiles = (-(-height // config.tile_h)) * (-(-width // config.tile_w))
+    cells = config.window_rows * config.window_cols
+    tc = min(config.chunk_tris // 2, cells)
+    nchunks = 2 * (-(-cells // tc))
+    return 2 * config.row_anchors * ntiles * nchunks * 12 * tc * 4
+
+
+_COEFF_HBM_BUDGET = 4 << 30  # leave most of a v5e's 16 GB for XLA scratch
+
+
 def render_frames_pallas(mvps, vertex_grid, uv_grid, texture_f32, width, height,
                          config: RasterConfig = RasterConfig(), mode: str = "texture",
-                         frame_batch: int = 4):
+                         frame_batch: int = 16):
     """Batched frames via the Pallas path -> (T, height, width, 4) uint8.
 
-    Frames are dispatched in a Python loop (async dispatch pipelines them on
-    device); ``frame_batch`` is accepted for API compatibility with the XLA path.
+    Frames are rendered in groups of ``frame_batch``: one vmapped prep dispatch,
+    one Pallas call over the merged (frame, tile) axis, one vmapped shade. Host
+    dispatch through the remote-TPU tunnel costs ~7 ms per call, so the old
+    3-dispatches-per-frame loop capped throughput near 47 frames/s no matter how
+    small the frame; grouping amortises that to 3 dispatches per group. The group
+    size is clamped so the coefficient buffers stay within an HBM budget, and
+    ``mvps`` is padded to a group multiple (one compiled shape, no remainder
+    recompiles).
     """
-    del frame_batch
     mvps = jnp.asarray(mvps, jnp.float32)
-    frames = [
-        render_frame_pallas(mvps[t], vertex_grid, uv_grid, texture_f32, width,
-                            height, config, mode)
-        for t in range(mvps.shape[0])
-    ]
-    return jnp.stack(frames, axis=0)
+    T = mvps.shape[0]
+    per_frame = max(_coeff_bytes_per_frame(width, height, config), 1)
+    fb = max(1, min(frame_batch, _COEFF_HBM_BUDGET // per_frame, T))
+    pad = (-T) % fb
+    if pad:
+        mvps = jnp.concatenate([mvps, jnp.repeat(mvps[-1:], pad, axis=0)])
+    frames = []
+    for s in range(0, T + pad, fb):
+        cov, attr, px0, py0, jlo, jhi = _prep_stage_batched(
+            mvps[s:s + fb], vertex_grid, uv_grid, width, height, config
+        )
+        tiles = raster_pairs_pallas(cov, attr, px0, py0, jlo, jhi, height, config)
+        frames.append(
+            _shade_stage_batched(tiles, texture_f32, width, height, config, mode)
+        )
+    out = jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
+    return out[:T]

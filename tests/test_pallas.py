@@ -74,6 +74,32 @@ def test_pallas_batched(checker_texture):
     assert not np.array_equal(frames[0], frames[1])
 
 
+def test_pallas_frame_grouping_pads_and_matches(checker_texture):
+    # 3 frames at frame_batch=2 exercises the pad-to-group-multiple path; the
+    # grouped pipeline must be pixel-identical to per-frame rendering.
+    verts, uvs, _, mvp, _ = scene(density=3, size=(24, 32), seed=5)
+    n = int(np.sqrt(len(verts)))
+    vg, uvg = verts.reshape(n, n, 3), uvs.reshape(n, n, 2)
+    tex = checker_texture.astype(np.float32)
+    mvps = np.stack([
+        (mvp @ np.asarray(transforms.rotation(np.deg2rad(a), axis=Axis.Y)))
+        for a in (-2.0, 0.0, 2.0)
+    ]).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        grouped = np.asarray(raster_pallas.render_frames_pallas(
+            mvps, vg, uvg, tex, 64, 48, CFG, frame_batch=2))
+        single = np.stack([
+            np.asarray(raster_pallas.render_frame_pallas(
+                mvps[t], vg, uvg, tex, 64, 48, CFG))
+            for t in range(3)
+        ])
+    assert grouped.shape == (3, 48, 64, 4)
+    # Batched projection reassociates float ops; allow 1 LSB on isolated pixels.
+    diff = np.abs(grouped.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff.sum(-1) > 0).mean() < 1e-3
+
+
 def test_pallas_dual_window_lossless(checker_texture):
     # A scene whose candidate row spans exceed one window: the dual row-anchored
     # windows must still produce exact (lossless) coverage vs the soup oracle.

@@ -152,7 +152,12 @@ def _prep_tile_planes(vg_cm, wr, wc, px0, py0, row_floor, height, config: Raster
     tile_ymax = height - (py0.astype(jnp.float32) + 0.5)
     del px0  # column skipping not worthwhile at full-width chunks
 
-    rows_per_chunk = -(-TC // WC) + 1  # conservative row span of one cell chunk
+    # Row span of one cell chunk. When TC is a whole number of window rows the
+    # chunks are row-aligned and span exactly TC//WC rows; the +1 is only needed
+    # for chunks that start mid-row (e.g. WC=96, TC=256). The exact bound matters:
+    # at VGA (WC=64, TC=256 = 4 rows) the loose +1 activated ~1 extra chunk per
+    # tile, ~25% of the pair work.
+    rows_per_chunk = TC // WC if TC % WC == 0 else -(-TC // WC) + 1
     chunk_first_row = (jnp.arange(nc) * TC) // WC
     idx = jnp.clip(chunk_first_row[:, None] + jnp.arange(rows_per_chunk)[None, :],
                    0, WR - 1)

@@ -36,8 +36,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--psnr-check", action="store_true",
                     help="Also cross-check grid vs soup rasteriser PSNR (slow).")
-    ap.add_argument("--impl", choices=("pallas", "xla"), default="pallas",
-                    help="Rasteriser implementation to benchmark.")
+    ap.add_argument("--impl", choices=("auto", "pallas", "xla"), default="auto",
+                    help="Rasteriser implementation: auto = the Pallas kernel on "
+                         "real TPUs, the XLA tiled path elsewhere (Pallas only "
+                         "runs interpreted on CPU).")
     args = ap.parse_args()
 
     import jax
@@ -97,7 +99,11 @@ def main():
     config = measured_config(mvps, np.asarray(vgrid), args.width, args.height)
     log(f"config (measured windows): {config}")
 
-    render_fn = render_frames_pallas if args.impl == "pallas" else render_frames_grid
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if dev.platform == "tpu" else "xla"
+        log(f"impl: {impl} (auto)")
+    render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
     render = lambda m: render_fn(  # noqa: E731
         m, vgrid, uvgrid, texture, args.width, args.height, config,
         frame_batch=args.frame_batch,

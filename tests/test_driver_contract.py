@@ -52,3 +52,25 @@ def test_graft_entry_and_multichip_dryrun():
 
     # conftest provides the fake 8-device CPU mesh.
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_self_provisions():
+    """The driver calls dryrun_multichip in the DEFAULT env (no JAX_PLATFORMS=cpu,
+    no xla_force_host_platform_device_count) — round 1's artifact was red because
+    the function assumed the caller pre-provisioned the mesh. Run it in a clean
+    subprocess with every provisioning variable scrubbed."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "DEPTHRENDERER_PLATFORM")
+    }
+    # Keep tests off the real TPU tunnel even though the function itself forces
+    # CPU: belt and braces via the compilation cache only (no platform vars).
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('ok')"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout

@@ -36,11 +36,35 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--psnr-check", action="store_true",
                     help="Also cross-check grid vs soup rasteriser PSNR (slow).")
+    ap.add_argument("--no-psnr-cross", action="store_true",
+                    help="Skip the default production-vs-XLA cross-impl PSNR "
+                         "diagnostic (it needs one extra XLA render).")
+    ap.add_argument("--edge-cull", type=float, default=None,
+                    help="Depth-discontinuity edge-cull threshold (BASELINE "
+                         "config #4 uses one).")
+    ap.add_argument("--preset", type=int, choices=(1, 2, 3, 4), default=None,
+                    help="BASELINE.json benchmark config: 1 = samples pair d8 "
+                         "single frontal view (CPU-runnable); 2 = 720p d10 "
+                         "120-frame sway; 3 = 64-pair batch d9 1080p; 4 = 4K "
+                         "texture d12 with edge culling.")
     ap.add_argument("--impl", choices=("auto", "pallas", "xla"), default="auto",
                     help="Rasteriser implementation: auto = the Pallas kernel on "
                          "real TPUs, the XLA tiled path elsewhere (Pallas only "
                          "runs interpreted on CPU).")
     args = ap.parse_args()
+
+    if args.preset == 1:
+        args.density, args.width, args.height, args.frames = 8, 640, 480, 1
+        args.frame_batch, args.reps = 1, max(args.reps, 3)
+    elif args.preset == 2:
+        args.density, args.width, args.height, args.frames = 10, 1280, 720, 120
+    elif args.preset == 3:
+        args.density, args.width, args.height = 9, 1920, 1080
+    elif args.preset == 4:
+        args.density, args.width, args.height, args.frames = 12, 3840, 2160, 16
+        args.frame_batch = min(args.frame_batch, 4)
+        if args.edge_cull is None:
+            args.edge_cull = 0.25
 
     import jax
 
@@ -57,6 +81,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+
+    if args.preset == 3:
+        return bench_batch(args, dev)
 
     # Scene: the reference sample pair, texture upscaled to the output resolution.
     colour = dio.load_colour("/root/reference/samples/00000_colors.png")
@@ -96,7 +123,8 @@ def main():
     cam = np.asarray(transforms.translation(dz=-10.0))
     mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
 
-    config = measured_config(mvps, np.asarray(vgrid), args.width, args.height)
+    config = measured_config(mvps, np.asarray(vgrid), args.width, args.height,
+                             edge_cull_threshold=args.edge_cull)
     log(f"config (measured windows): {config}")
 
     impl = args.impl
@@ -124,6 +152,21 @@ def main():
         best = max(best, fps)
         log(f"rep {r}: {fps:.1f} frames/s ({dt * 1e3 / args.frames:.2f} ms/frame)")
 
+    if impl == "pallas" and not args.no_psnr_cross:
+        # Default quality gate: the production kernel against the independent
+        # XLA tiled implementation on the first frame — a perf "win" that broke
+        # rendering shows up here in every bench artifact's diagnostics.
+        from depthrenderer_tpu.utils import psnr
+
+        a = np.asarray(frames[0])
+        b = np.asarray(render_frames_grid(
+            mvps[:1], vgrid, uvgrid, texture, args.width, args.height, config,
+            frame_batch=1))[0]
+        cross = psnr(a, b)
+        log(f"pallas-vs-grid PSNR (frame 0): {cross:.1f} dB")
+        if cross < 40.0:
+            log("WARNING: cross-implementation PSNR below the 40 dB gate!")
+
     if args.psnr_check:
         from depthrenderer_tpu.ops.raster_soup import rasterize_soup
         from depthrenderer_tpu.utils import psnr
@@ -138,6 +181,88 @@ def main():
 
     print(json.dumps({
         "metric": f"{args.height}p frames/s/chip @ mesh-density {args.density}",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 4),
+    }))
+
+
+def bench_batch(args, dev):
+    """BASELINE config #3: a 64-pair headless batch at d=9, 1080p.
+
+    64 scenes share one colour image; each gets a perturbed depth map (the
+    re-skin fast path, reference ``Mesh.from_copy_with_new_depth``) and renders 2
+    views. Metric: scene-views per second end-to-end on one chip.
+    """
+    import jax
+
+    from depthrenderer_tpu import animation, io as dio, meshgen, transforms
+    from depthrenderer_tpu.ops.raster_grid import measured_config, render_frames_grid
+    from depthrenderer_tpu.ops.raster_pallas import render_frames_pallas
+
+    S, VIEWS = 64, 2
+    colour = dio.load_colour("/root/reference/samples/00000_colors.png")
+    depth = dio.load_depth("/root/reference/samples/00000_depth.png")
+    depth_r = dio.resize(depth, (args.height, args.width))
+    texture = jax.device_put(
+        dio.resize(colour, (args.height, args.width)).astype(np.float32))
+
+    n = 2**args.density + 1
+    rng = np.random.default_rng(0)
+
+    sway = animation.default_sway(5.0)
+    times = animation.frame_times(VIEWS, 60.0)
+    views = np.asarray(sway.batch(times))
+    proj = np.asarray(transforms.perspective(18.0, args.width / args.height))
+    cam = np.asarray(transforms.translation(dz=-10.0))
+    mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
+
+    # Re-skin: one grid, per-scene depth perturbation (simulates 64 depth models).
+    base_depth = depth_r.astype(np.int32)
+    verts0, uvs, _ = meshgen.grid_mesh(depth_r, args.density)
+    vgrid0 = np.asarray(verts0).reshape(n, n, 3)
+    uvgrid = jax.device_put(np.asarray(uvs).reshape(n, n, 2))
+
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if dev.platform == "tpu" else "xla"
+    render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
+
+    def scene_vgrid(s):
+        d = np.clip(base_depth + rng.integers(-12, 13, base_depth.shape), 0, 255)
+        v, _, _ = meshgen.grid_mesh(d.astype(np.uint8), args.density)
+        v = np.asarray(v).reshape(n, n, 3).copy()
+        v[..., 2] *= 4.0
+        return v
+
+    vgrids = [scene_vgrid(s) for s in range(S)]
+    config = measured_config(mvps, vgrids[0], args.width, args.height,
+                             edge_cull_threshold=args.edge_cull)
+    log(f"config: {config}")
+
+    def run_all():
+        out = None
+        for s in range(S):
+            dev_frames = render_fn(mvps, jax.device_put(vgrids[s]), uvgrid,
+                                   texture, args.width, args.height, config,
+                                   frame_batch=VIEWS)
+            out = dev_frames  # async dispatch pipelines scenes
+        out.block_until_ready()
+
+    t0 = time.perf_counter()
+    run_all()
+    log(f"compile + first pass: {time.perf_counter() - t0:.1f}s")
+    best = 0.0
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        run_all()
+        dt = time.perf_counter() - t0
+        rate = S * VIEWS / dt
+        best = max(best, rate)
+        log(f"rep {r}: {rate:.1f} scene-views/s ({dt:.2f}s for {S}x{VIEWS})")
+
+    print(json.dumps({
+        "metric": f"64-pair batch scene-views/s @ d={args.density} {args.height}p",
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 4),

@@ -79,6 +79,13 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                    help="Skip models already recorded in the output manifest.")
     p.add_argument("--no-post", action="store_true",
                    help="Skip mosaic/concat/paired post-processing.")
+    p.add_argument("--container", choices=("avi", "mp4"), default="avi",
+                   help="Video container: avi (native, no dependencies) or mp4 "
+                        "(H.264 via ffmpeg, falls back to avi with a notice).")
+    p.add_argument("--impl", choices=("auto", "grid", "pallas"), default="auto",
+                   help="Rasteriser implementation (auto = Pallas on TPU, XLA "
+                        "grid elsewhere); applies to both the sequential and "
+                        "--sharded paths.")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
@@ -176,7 +183,8 @@ def main(argv=None):
 
     for model_name, depth_path in models:
         model_names.append(model_name)
-        video_path = os.path.join(video_output_path, f"{model_name}.avi")
+        video_path = os.path.join(video_output_path,
+                                  f"{model_name}.{args.container}")
         video_sources.append(video_path)
 
         if args.resume and manifest.get(model_name, {}).get("frames") == num_frames \
@@ -213,7 +221,7 @@ def main(argv=None):
         t0 = time.time()
         render_clip(mesh, camera.projection, views, out_w, out_h,
                     frame_batch=args.frame_batch, on_frames=on_frames,
-                    binning_quantile=args.binning_quantile,
+                    impl=args.impl, binning_quantile=args.binning_quantile,
                     edge_cull_threshold=args.edge_cull)
         video_writer.cleanup()
         dt = time.time() - t0
@@ -235,16 +243,24 @@ def main(argv=None):
 def _postprocess(args, video_sources, model_names, image_name, out_w, out_h):
     if args.no_post:
         return
+    # The native (numpy) backend decodes only the in-house AVI container; MP4
+    # sources require the ffmpeg backend (ffmpeg must exist for them anyway).
+    backend = "ffmpeg" if args.container == "mp4" else "auto"
+    if backend == "ffmpeg" and not postprocess.ffmpeg_available():
+        log("ffmpeg not found: skipping mosaic/concat/paired post-processing "
+            "(mp4 container was requested).")
+        return
     postprocess.create_mosaic_video(video_sources,
                                     os.path.join(args.output_path, "mosaic"),
-                                    image_name, (out_h, out_w), fps=args.fps)
+                                    image_name, (out_h, out_w), fps=args.fps,
+                                    backend=backend)
     postprocess.create_concat_video(video_sources,
                                     os.path.join(args.output_path, "concat"),
-                                    image_name)
+                                    image_name, backend=backend)
     if "ground_truth" in model_names:
         postprocess.create_paired_videos(video_sources,
                                          os.path.join(args.output_path, "paired"),
-                                         image_name, model_names)
+                                         image_name, model_names, backend=backend)
     else:
         log("No 'ground_truth' model; skipping paired videos.")
 
@@ -263,8 +279,12 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
     from .parallel import make_render_mesh, render_scenes_sharded
 
+    from .render import _auto_impl
+
+    impl = _auto_impl() if args.impl == "auto" else args.impl
     device_mesh = make_render_mesh()
-    log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s).")
+    log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s) "
+        f"(impl={impl}).")
 
     base_mesh = None
     vgrids, model_names, video_sources, writers, png_tasks = [], [], [], [], []
@@ -272,7 +292,8 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
     for model_name, depth_path in models:
         model_names.append(model_name)
-        video_path = os.path.join(video_output_path, f"{model_name}.avi")
+        video_path = os.path.join(video_output_path,
+                                  f"{model_name}.{args.container}")
         video_sources.append(video_path)
 
         depth = dio.resize(dio.load_depth(depth_path), colour.shape)
@@ -302,9 +323,36 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
         proj0 @ np.asarray(views[k], np.float32)
         for k in np.linspace(0, len(views) - 1, min(3, len(views))).astype(int)
     ])
-    config = measured_config(sample_mvps, vgrids[0], out_w, out_h,
-                             quantile=args.binning_quantile,
-                             edge_cull_threshold=args.edge_cull)
+    # Measure candidate windows across EVERY scene and take the max span:
+    # models with stronger depth relief than scene 0 would otherwise exceed the
+    # shared windows and silently drop triangles (the sequential path sizes per
+    # scene).
+    per_scene = [
+        measured_config(sample_mvps, vg, out_w, out_h,
+                        quantile=args.binning_quantile,
+                        edge_cull_threshold=args.edge_cull)
+        for vg in vgrids
+    ]
+    import dataclasses as _dc
+
+    config = _dc.replace(
+        per_scene[0],
+        window_rows=max(c.window_rows for c in per_scene),
+        window_cols=max(c.window_cols for c in per_scene),
+    )
+    from .ops.raster_grid import binning_overflow_tiles
+
+    uvgrid0 = base_mesh.texture_coordinates.reshape(n, n, 2)
+    overflow = max(
+        int(np.asarray(binning_overflow_tiles(
+            sample_mvps, vg, uvgrid0, out_w, out_h, config)).max())
+        for vg in vgrids
+    )
+    if overflow:
+        log(f"WARNING: {overflow} tile(s) exceed the shared candidate window at "
+            f"the sampled views (binning_quantile={args.binning_quantile}); "
+            f"triangles near strong depth edges may be dropped there. Re-run "
+            f"with --binning-quantile 1.0 for lossless binning.")
     uvgrid = base_mesh.texture_coordinates.reshape(n, n, 2)
     uvgrids = jax.device_put(np.broadcast_to(uvgrid, (S,) + uvgrid.shape))
     tex = np.asarray(colour, np.float32)
@@ -321,7 +369,7 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
         mvps = np.broadcast_to(mvps_all[start:stop], (S, stop - start, 4, 4)).copy()
         frames = np.asarray(render_scenes_sharded(
             device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
-            frame_batch=stop - start,
+            frame_batch=stop - start, impl=impl,
         ))  # (S, Tc, H, W, 4)
         for s in range(S):
             for k in range(stop - start):

@@ -75,6 +75,9 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                    help="Shading mode (debug_z = the reference's debug shader).")
     p.add_argument("--codec", choices=("MJPG", "DIB "), default="MJPG",
                    help="AVI codec: MJPG (compact) or 'DIB ' (uncompressed).")
+    p.add_argument("--container", choices=("avi", "mp4"), default="avi",
+                   help="Video container: avi (native) or mp4 (H.264 via "
+                        "ffmpeg; falls back to avi with a notice).")
     p.add_argument("--frame-batch", type=int, default=8, dest="frame_batch",
                    help="Frames rendered per device dispatch (default 8).")
     p.add_argument("--binning-quantile", type=float, default=0.995,
@@ -89,7 +92,7 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
                    help="Also dump every Nth frame as PNG.")
-    p.add_argument("--overlay-noise", type=int, nargs="*", default=None,
+    p.add_argument("--overlay-noise", type=int, nargs="+", default=None,
                    dest="overlay_noise", metavar="SCALE",
                    help="Overlay Perlin noise on the depth map at the given "
                         "scales (the reference's depth-augmentation path, e.g. "
@@ -156,7 +159,8 @@ def main(argv=None):
     video_writer = None
     if not args.no_video:
         video_writer = AsyncVideoWriter(
-            os.path.join(args.output_path, f"{Path(args.image_path).name}.avi"),
+            os.path.join(args.output_path,
+                         f"{Path(args.image_path).name}.{args.container}"),
             size=(out_w, out_h), fps=args.fps, codec=args.codec,
         )
 

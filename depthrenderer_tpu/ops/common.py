@@ -18,6 +18,12 @@ the reference's OpenGL semantics):
   ``v = 1`` maps to texture row 0 (top) because this framework keeps images top-down
   (the reference flips at load instead — same texels either way).
 * Background = the reference's clear colour: black, alpha 1 (``render.py:634``).
+* **No near-plane clipping** (known limitation, shared by every implementation in
+  this package including the numpy oracle): ``project_vertices`` gives vertices
+  with ``clip_w <= 0`` an ``inv_w`` of 0 / a sign-flipped projection, so
+  triangles crossing the camera plane render incorrectly where GL would clip
+  them. This matters only for extreme camera poses (the reference CLI's camera
+  stays ~10 units from a depth-4 scene); cull such triangles upstream if needed.
 """
 
 from __future__ import annotations

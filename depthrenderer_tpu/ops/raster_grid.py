@@ -360,6 +360,45 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     return rgba.reshape(th, tw, 4)
 
 
+def binning_overflow_tiles(mvps, vertex_grid, uv_grid, width, height,
+                           config: RasterConfig):
+    """Count tiles whose true candidate span exceeds the configured window, per MVP.
+
+    A cheap diagnostic (projection + window math only, no rendering) for the
+    quantile-sized binning compromise: overflowing tiles keep a centred window and
+    can silently drop their most-distant candidate triangles (speckles near depth
+    discontinuities — see :func:`measured_config`). GL never drops triangles
+    (reference ``render.py:448``), so callers surface a warning when this is
+    nonzero and suggest ``binning_quantile=1.0``. With ``row_anchors=2`` the two
+    row-anchored windows cover double the row span, so only column overflow (or a
+    >2x row span) counts.
+
+    :param mvps: (T, 4, 4) — typically the sampled MVPs used to size the config.
+    :return: (T,) int32 overflowing-tile counts.
+    """
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    uv_grid = jnp.asarray(uv_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    ps = config.patch_size
+    cells_r = max(_ceil_to(max(n_r - 1, config.window_rows), ps), config.window_rows)
+    cells_c = max(_ceil_to(max(n_c - 1, config.window_cols), ps), config.window_cols)
+    th, tw = config.tile_h, config.tile_w
+    ntr = -(-height // th)
+    ntc = -(-width // tw)
+
+    def one(mvp):
+        vg = _project_attribute_grid(mvp, vertex_grid, uv_grid, width, height)
+        vg = jnp.pad(vg, ((0, cells_r + 1 - n_r), (0, cells_c + 1 - n_c), (0, 0)),
+                     mode="edge")
+        r0, r1, c0, c1 = _tile_bounds(vg[..., _SX], vg[..., _SY], config, width,
+                                      height, ntr, ntc)
+        row_capacity = config.window_rows * config.row_anchors
+        over = ((r1 - r0) > row_capacity) | ((c1 - c0) > config.window_cols)
+        return jnp.sum(over.astype(jnp.int32))
+
+    return jax.lax.map(one, jnp.asarray(mvps, jnp.float32).reshape(-1, 4, 4))
+
+
 def render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32, width, height,
                            config: RasterConfig, mode: str = "texture",
                            with_stats: bool = False):

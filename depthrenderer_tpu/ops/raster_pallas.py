@@ -384,8 +384,8 @@ def _prep_stage_batched(mvps, vertex_grid, uv_grid, width, height,
     One dispatch prepares every tile of every frame in the group; the merged
     leading axis feeds the Pallas call directly (the kernel is per-tile and does
     not care which frame a tile belongs to). Batching exists to amortise host
-    dispatch latency — through the remote-TPU tunnel each call costs ~7 ms on the
-    host, which at VGA is more than the device compute per frame.
+    dispatch latency (~0.8 ms per call, measured) and per-call queueing overhead,
+    which at VGA rates is comparable to the device compute per frame.
     """
     cov, attr, px0, py0, jlo, jhi = jax.vmap(
         lambda m: _prep_stage_impl(m, vertex_grid, uv_grid, width, height, config)
@@ -471,12 +471,12 @@ def render_frames_pallas(mvps, vertex_grid, uv_grid, texture_f32, width, height,
 
     Frames are rendered in groups of ``frame_batch``: one vmapped prep dispatch,
     one Pallas call over the merged (frame, tile) axis, one vmapped shade. Host
-    dispatch through the remote-TPU tunnel costs ~7 ms per call, so the old
-    3-dispatches-per-frame loop capped throughput near 47 frames/s no matter how
-    small the frame; grouping amortises that to 3 dispatches per group. The group
-    size is clamped so the coefficient buffers stay within an HBM budget, and
-    ``mvps`` is padded to a group multiple (one compiled shape, no remainder
-    recompiles).
+    dispatch costs ~0.8 ms per call (measured; an earlier ~7 ms figure was
+    wrong), so the old 3-dispatches-per-frame loop paid a few ms/frame of
+    host-side overhead at small frame sizes; grouping amortises that to 3
+    dispatches per group (worth ~10-17% at VGA). The group size is clamped so
+    the coefficient buffers stay within an HBM budget, and ``mvps`` is padded
+    to a group multiple (one compiled shape, no remainder recompiles).
     """
     mvps = jnp.asarray(mvps, jnp.float32)
     T = mvps.shape[0]

@@ -32,6 +32,19 @@ def make_render_mesh(devices=None, axis_name: str = "batch") -> Mesh:
     return Mesh(devices, axis_names=(axis_name,))
 
 
+def _render_frames_impl(impl: str):
+    """Resolve the per-shard frame renderer (the production Pallas kernel or the
+    XLA fallback) so multi-chip runs exercise the same compute path as
+    single-chip ones."""
+    if impl == "pallas":
+        from ..ops import raster_pallas
+
+        return raster_pallas.render_frames_pallas
+    if impl == "grid":
+        return raster_grid.render_frames_grid
+    raise ValueError(f"Unknown sharded raster impl {impl!r} (want 'grid' or 'pallas')")
+
+
 def _pad_to_multiple(x, mult, axis=0):
     n = x.shape[axis]
     pad = (-n) % mult
@@ -46,7 +59,7 @@ def render_frames_sharded(mesh: Mesh, mvps, vertex_grid, uv_grid, texture_f32,
                           width: int, height: int,
                           config: RasterConfig = RasterConfig(),
                           mode: str = "texture", frame_batch: int = 4,
-                          with_stats: bool = False):
+                          with_stats: bool = False, impl: str = "grid"):
     """Render a clip with its frame axis sharded over the device mesh.
 
     Scene data (vertex grid, UVs, texture) is replicated; each device renders its
@@ -67,8 +80,10 @@ def render_frames_sharded(mesh: Mesh, mvps, vertex_grid, uv_grid, texture_f32,
     uv_grid = jnp.asarray(uv_grid, jnp.float32)
     texture_f32 = jnp.asarray(texture_f32, jnp.float32)
 
+    render_frames = _render_frames_impl(impl)
+
     def shard_fn(mvps_local, vgrid, uvgrid, tex):
-        frames = raster_grid.render_frames_grid(
+        frames = render_frames(
             mvps_local, vgrid, uvgrid, tex, width, height, config, mode,
             frame_batch=frame_batch,
         )
@@ -86,6 +101,9 @@ def render_frames_sharded(mesh: Mesh, mvps, vertex_grid, uv_grid, texture_f32,
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P()),
         out_specs=out_spec,
+        # pallas_call does not annotate varying-mesh-axes metadata on its
+        # outputs; the per-shard computation is embarrassingly parallel.
+        check_vma=False,
     )
     result = jax.jit(fn)(mvps_padded, vertex_grid, uv_grid, texture_f32)
     if with_stats:
@@ -97,7 +115,8 @@ def render_frames_sharded(mesh: Mesh, mvps, vertex_grid, uv_grid, texture_f32,
 def render_scenes_sharded(mesh: Mesh, mvps, vertex_grids, uv_grids, textures_f32,
                           width: int, height: int,
                           config: RasterConfig = RasterConfig(),
-                          mode: str = "texture", frame_batch: int = 4):
+                          mode: str = "texture", frame_batch: int = 4,
+                          impl: str = "grid"):
     """Render many scenes, sharding the *scene* axis over the device mesh.
 
     The TPU-native replacement for ``render_many.py``'s sequential per-model loop:
@@ -121,10 +140,12 @@ def render_scenes_sharded(mesh: Mesh, mvps, vertex_grids, uv_grids, textures_f32
     uv_grids, _ = _pad_to_multiple(uv_grids, num, axis=0)
     textures_f32, _ = _pad_to_multiple(textures_f32, num, axis=0)
 
+    render_frames = _render_frames_impl(impl)
+
     def shard_fn(mvps_local, vgrids, uvgrids, texs):
         def one_scene(args):
             mvps_s, vg, uv, tex = args
-            return raster_grid.render_frames_grid(
+            return render_frames(
                 mvps_s, vg, uv, tex, width, height, config, mode,
                 frame_batch=frame_batch,
             )
@@ -136,6 +157,7 @@ def render_scenes_sharded(mesh: Mesh, mvps, vertex_grids, uv_grids, textures_f32
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
+        check_vma=False,  # see render_frames_sharded
     )
     frames = jax.jit(fn)(mvps, vertex_grids, uv_grids, textures_f32)
     return frames[:true_s]

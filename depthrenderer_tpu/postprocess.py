@@ -79,10 +79,15 @@ def create_concat_video(video_sources, output_path, name, backend="auto"):
     if backend == "ffmpeg" or (backend == "auto" and ffmpeg_available()):
         tmp = os.path.join(output_path, "tmp.txt")
         with open(tmp, "w") as f:
-            f.writelines(f"file '{os.path.abspath(p)}'\n" for p in video_sources)
-        cmd = f"ffmpeg -f concat -safe 0 -i {tmp} -c:v libx264 {out} -y"
-        log(cmd)
-        subprocess.run(cmd, shell=True, check=True)
+            # The concat demuxer's own quoting: single quotes with '\'' escapes.
+            f.writelines(
+                "file '" + os.path.abspath(p).replace("'", "'\\''") + "'\n"
+                for p in video_sources
+            )
+        cmd = ["ffmpeg", "-f", "concat", "-safe", "0", "-i", tmp,
+               "-c:v", "libx264", out, "-y"]
+        log(" ".join(cmd))
+        subprocess.run(cmd, check=True)
         os.remove(tmp)
         return out
 
@@ -125,10 +130,10 @@ def create_paired_videos(video_sources, output_path, name, model_names,
     for model_name, video_source in zip(model_names, video_sources):
         paired = os.path.join(output_path, f"ground_truth-{model_name}.avi")
         if use_ffmpeg:
-            cmd = (f"ffmpeg -i {ground_truth_src} -i {video_source} "
-                   f"-filter_complex hstack {paired} -y")
-            log(cmd)
-            subprocess.run(cmd, shell=True, check=True)
+            cmd = ["ffmpeg", "-i", str(ground_truth_src), "-i", str(video_source),
+                   "-filter_complex", "hstack", paired, "-y"]
+            log(" ".join(cmd))
+            subprocess.run(cmd, check=True)
         else:
             frames = read_avi_frames(video_source)
             w, h, _, fps = read_avi_info(video_source)
@@ -142,8 +147,14 @@ def create_paired_videos(video_sources, output_path, name, model_names,
 
 
 def _ffmpeg_mosaic(video_sources, output_path, output_shape, num_rows, num_cols):
-    """The reference's nullsrc+overlay filter-graph mosaic (``render_many.py:27-97``)."""
-    input_files = " ".join(f"-i {src}" for src in video_sources)
+    """The reference's nullsrc+overlay filter-graph mosaic (``render_many.py:27-97``).
+
+    Invoked list-form (no shell): paths with spaces or metacharacters are passed
+    verbatim to ffmpeg instead of being re-parsed by a shell.
+    """
+    input_args = []
+    for src in video_sources:
+        input_args += ["-i", str(src)]
     output_width, output_height = output_shape
     height = output_height // num_rows
     width = output_width // num_cols
@@ -173,8 +184,9 @@ def _ffmpeg_mosaic(video_sources, output_path, output_shape, num_rows, num_cols)
             prev = f"tmp{i}"
             i += 1
 
-    cmd = (f"ffmpeg {input_files} -filter_complex \"{'; '.join(pieces)}\" "
-           f"-c:v libx264 {output_path} -y")
-    log(cmd)
-    subprocess.run(cmd, shell=True, check=True)
+    cmd = (["ffmpeg"] + input_args
+           + ["-filter_complex", "; ".join(pieces), "-c:v", "libx264",
+              output_path, "-y"])
+    log(" ".join(cmd))
+    subprocess.run(cmd, check=True)
     return output_path

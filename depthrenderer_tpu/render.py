@@ -81,6 +81,7 @@ class MeshRenderer:
         self.fixed_time_step = fixed_time_step
         self.unlimited_frame_works = unlimited_frame_works
         self.config = config
+        self._config_auto = config is None  # re-derive on mesh swap when auto
         self.mode = mode
         self.impl = _auto_impl() if impl == "auto" else impl
 
@@ -107,8 +108,12 @@ class MeshRenderer:
         self._texture_f32 = np.asarray(mesh.texture.image, np.float32)
         if mesh.is_grid:
             self._vgrid, self._uvgrid, n = _grid_arrays(mesh)
-            if self.config is None:
+            # Re-derive the raster config whenever the user did not pin one
+            # explicitly: a second, denser mesh must not inherit the previous
+            # mesh's (possibly undersized) candidate windows.
+            if self.config is None or self._config_auto:
                 self.config = suggest_config(n, self.width, self.height)
+                self._config_auto = True
 
     @property
     def frame_buffer_shape(self):
@@ -264,6 +269,15 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
             sample_mvps, vgrid, width, height, quantile=binning_quantile,
             edge_cull_threshold=edge_cull_threshold,
         )
+        # Surface the quantile-binning compromise instead of dropping triangles
+        # silently (GL never drops any — reference render.py:448).
+        overflow = int(np.asarray(raster_grid.binning_overflow_tiles(
+            sample_mvps, vgrid, uvgrid, width, height, cfg)).max())
+        if overflow:
+            log(f"WARNING: {overflow} tile(s) exceed the candidate window at the "
+                f"sampled views (binning_quantile={binning_quantile}); triangles "
+                f"near strong depth edges may be dropped there. Re-run with "
+                f"--binning-quantile 1.0 for lossless binning.")
     # One-time device residency for the scene (repeat host->device transfers are
     # expensive, especially through a remote-TPU tunnel).
     vgrid = jax.device_put(vgrid)

@@ -62,7 +62,7 @@ class RecurringTask(Task):
 
     def __init__(self, task, frequency=1):
         super().__init__(task)
-        assert frequency > 0, f"Frequency must be a positive integer, got {frequency}."
+        assert frequency > 0, f"RecurringTask needs a frequency >= 1 (got {frequency})."
         self.frequency = frequency
 
     def __call__(self, *args, **kwargs):

@@ -15,6 +15,7 @@ directly:
 from __future__ import annotations
 
 import io as _io
+import os
 import shutil
 import struct
 
@@ -26,6 +27,30 @@ _AVIIF_KEYFRAME = 0x00000010
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+def convert_to_mp4(avi_path, mp4_path=None, remove_source=True, crf=18):
+    """Transcode an AVI to H.264 MP4 via ffmpeg (BASELINE config #5's MP4 export;
+    reference counterpart: ``render_many.py:76`` libx264).
+
+    :return: the MP4 path, or None when ffmpeg is unavailable (source kept).
+    """
+    import subprocess
+
+    if not ffmpeg_available():
+        return None
+    avi_path = str(avi_path)
+    if mp4_path is None:
+        mp4_path = avi_path[:-4] + ".mp4" if avi_path.lower().endswith(".avi") \
+            else avi_path + ".mp4"
+    subprocess.run(
+        ["ffmpeg", "-i", avi_path, "-c:v", "libx264", "-crf", str(crf),
+         "-pix_fmt", "yuv420p", str(mp4_path), "-y"],
+        check=True, capture_output=True,
+    )
+    if remove_source:
+        os.remove(avi_path)
+    return str(mp4_path)
 
 
 def _fourcc(code: str) -> bytes:

@@ -71,12 +71,25 @@ class AsyncImageWriter(ImageWriter):
 
 
 class VideoWriter:
-    """Synchronous AVI writer (reference: ``utils.py:440-484``)."""
+    """Synchronous video writer (reference: ``utils.py:440-484``).
+
+    Writes AVI natively (MJPG/DIB, no dependencies). A path ending in ``.mp4``
+    requests H.264 MP4 (BASELINE config #5): frames stream to a temporary AVI
+    and ``cleanup()`` transcodes via ffmpeg; without ffmpeg the AVI is kept (and
+    ``path`` updated) with a warning — reference counterpart:
+    ``render_many.py:76`` libx264.
+    """
 
     def __init__(self, path, size, fps=24, codec="MJPG", quality=92):
         self.path = str(path)
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
-        self.writer = AviFile(self.path, size, fps=fps, codec=codec, quality=quality)
+        self._mp4_target = None
+        write_path = self.path
+        if self.path.lower().endswith(".mp4"):
+            self._mp4_target = self.path
+            write_path = self.path[:-4] + ".tmp.avi"
+        self._avi_path = write_path
+        self.writer = AviFile(write_path, size, fps=fps, codec=codec, quality=quality)
 
     def write(self, frame):
         self.writer.write(_to_host_uint8(frame))
@@ -84,6 +97,18 @@ class VideoWriter:
     def cleanup(self):
         if self.writer:
             self.writer.close()
+        if self._mp4_target:
+            from .utils import log
+            from .video import convert_to_mp4
+
+            out = convert_to_mp4(self._avi_path, self._mp4_target)
+            if out is None:
+                fallback = self._mp4_target[:-4] + ".avi"
+                os.replace(self._avi_path, fallback)
+                self.path = fallback
+                log(f"ffmpeg not found: kept AVI output at {fallback} instead "
+                    f"of {self._mp4_target}")
+            self._mp4_target = None
 
 
 class AsyncVideoWriter(VideoWriter):

@@ -1,0 +1,189 @@
+"""Numpy prototype #2: the column-crossing-scan inverse rasteriser.
+
+Design (what the Pallas kernel will do per tile, here done globally):
+
+1. **Column solve** (vertical scan, no gathers in-kernel): for each pixel row y
+   and window grid-col c, find bracketing grid rows where the projected column
+   crosses qy(y): sy[r, c] >= qy > sy[r+1, c]. Keep the best NBR crossings by
+   fetched z (vertical folds give multiple). Record per (y, c, crossing):
+   bracket base row, plus sx/z at the *fractional* crossing point.
+2. **Horizontal march**: per pixel, scan the solved curve sx*(y, c) over window
+   cols for crossings of qx; keep the best NH hypotheses by z*.
+3. **Exact tests**: for each hypothesis col ct, test cells spanning cols
+   {ct-1, ct, ct+1} x band rows {base-1, base, base+1} (both crossings) with the
+   oracle's exact edge functions; min-z + lowest-id wins.
+
+Validated against a windowed-exhaustive reference on a pixel subsample over the
+default sway path at d10/1080p. Mismatch taxonomy distinguishes candidate
+misses (holes / wrong sheet) from depth ties.
+"""
+
+import os
+import time
+
+os.environ["DEPTHRENDERER_PLATFORM"] = "cpu"
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from depthrenderer_tpu import animation
+import experiments.epipolar_proto as P1
+
+NBR = 3     # crossings kept per (pixel-row, col)
+NH = 3      # hypothesis cols kept per pixel
+EX_C, EX_R = 96, 40
+
+
+def column_solve(sx, sy, z, n, qy_rows, r_lo, r_hi):
+    """For each pixel row and every grid col: top-NBR qy-crossings of the column.
+
+    :param qy_rows: (HY,) qy per pixel row.
+    :param r_lo, r_hi: (HY,) int scan band per pixel row (kernel: the DMA window).
+    :return: base (HY, NBR, C) int32 bracket rows; sxc/zc (HY, NBR, C) values at
+        the fractional crossing.
+    """
+    HY = len(qy_rows)
+    C = sx.shape[1]
+    base = np.full((HY, NBR, C), -1, np.int32)
+    sxc = np.full((HY, NBR, C), np.inf, np.float32)
+    zc = np.full((HY, NBR, C), np.inf, np.float32)
+    for yi in range(HY):
+        qy = qy_rows[yi]
+        rr = np.arange(r_lo[yi], r_hi[yi])
+        s_hi = sy[rr]          # (R, C) sy at row r
+        s_lo = sy[rr + 1]      # sy at row r+1 (lower on screen)
+        cross = (s_hi >= qy) & (s_lo < qy)
+        frac = np.where(cross, (s_hi - qy) / np.maximum(s_hi - s_lo, 1e-12), 0.0)
+        z_at = z[rr] + (z[rr + 1] - z[rr]) * frac
+        sx_at = sx[rr] + (sx[rr + 1] - sx[rr]) * frac
+        # first NBR crossings in row order (sheet-continuous along c); rank
+        # among them is stable so the per-slot curves stay continuous.
+        key = np.where(cross, np.arange(len(rr), dtype=np.float64)[:, None],
+                       np.inf)
+        order = np.argsort(key, axis=0)[:NBR]
+        z_at = np.where(cross, z_at, np.inf)
+        base[yi] = np.take_along_axis(
+            rr[:, None] * np.ones((1, C), np.int64), order, axis=0)
+        sxc[yi] = np.take_along_axis(sx_at, order, axis=0)
+        zc[yi] = np.take_along_axis(z_at, order, axis=0)
+        base[yi] = np.where(np.isfinite(zc[yi]), base[yi], -1)
+    return base, sxc, zc
+
+
+def run_frame(verts, basemat, n, t_anim, sway, SUB=16):
+    anim = np.asarray(sway.transform_at(t_anim))
+    mvp = basemat @ anim
+    sx, sy, z = P1.project(verts, mvp)
+
+    col_x = sx.mean(axis=0)
+
+    ys = np.arange(0, P1.H, SUB)
+    xs = np.arange(0, P1.W, SUB)
+    qy_rows = P1.H - (ys + 0.5)
+    qx_cols = xs + 0.5
+
+    # Depth-aware row band: the crossing row for a sheet at depth Z lies between
+    # the z=0 (undisplaced) and z=zmax row anchors; hull both + margin.
+    zmax = float(verts[..., 2].max())
+    v0 = verts.copy(); v0[..., 2] = 0.0
+    v1 = verts.copy(); v1[..., 2] = zmax
+    anchors = []
+    for vv in (v0, v1):
+        _, syv, _ = P1.project(vv, mvp)
+        ry = syv.mean(axis=1)
+        anchors.append(np.interp(qy_rows, ry[::-1],
+                                 np.arange(n, dtype=np.float64)[::-1]))
+    MARGIN = 10
+    band_lo = np.minimum(*anchors) - MARGIN
+    band_hi = np.maximum(*anchors) + MARGIN
+    RMAX = int(np.ceil((band_hi - band_lo).max()))
+    r_lo = np.clip(np.round(band_lo).astype(int), 0, n - 1 - RMAX)
+    r_hi = np.minimum(r_lo + RMAX - 1, n - 2)
+    print(f"  RMAX={RMAX}")
+
+    base, sxc, zc = column_solve(sx, sy, z, n, qy_rows, r_lo, r_hi)
+
+    # horizontal march: full-window scan per pixel (kernel: strided + refine)
+    c0 = np.clip(np.interp(qx_cols, col_x, np.arange(n)), 0, n - 2).astype(int)
+    CW = 192
+    c_lo = np.clip(c0 - CW // 2, 0, n - 1 - CW)
+
+    HY, HX = len(ys), len(xs)
+    hyp_c = np.zeros((NH, HY, HX), np.int32)
+    hyp_z = np.full((NH, HY, HX), np.inf, np.float32)
+    for yi in range(HY):
+        cols = c_lo[None, :] + np.arange(CW)[:, None]      # (CW, HX)
+        for br in range(NBR):
+            sxv = sxc[yi, br][cols]                          # (CW, HX)
+            zv = zc[yi, br][cols]
+            # crossing of qx between consecutive cols (same bracket index)
+            f0 = sxv[:-1] - qx_cols[None, :]
+            f1 = sxv[1:] - qx_cols[None, :]
+            hit = (f0 * f1 <= 0) & np.isfinite(zv[:-1])
+            key = np.where(hit, zv[:-1], np.inf).astype(np.float32)
+            for t in range(CW - 1):
+                k = key[t]
+                c_t = cols[t]
+                for h in range(NH):
+                    better = k < hyp_z[h, yi]
+                    k2 = np.where(better, hyp_z[h, yi], k)
+                    hyp_z[h, yi] = np.where(better, k, hyp_z[h, yi])
+                    c2 = np.where(better, hyp_c[h, yi], c_t)
+                    hyp_c[h, yi] = np.where(better, c_t, hyp_c[h, yi])
+                    k = k2
+                    c_t = c2
+
+    # exact tests: cells at hypothesis cols +-1, band rows from the column solve
+    qx_g, qy_g = np.meshgrid(qx_cols, qy_rows)
+    qx_f, qy_f = qx_g.reshape(-1), qy_g.reshape(-1)
+    cr, cc = [], []
+    for h in range(NH):
+        for br in range(NBR):
+            for dc in (-1, 0, 1):
+                c_h = np.clip(hyp_c[h] + dc, 0, n - 2)       # (HY, HX)
+                b_h = base[np.arange(HY)[:, None], br, c_h]  # bracket row there
+                for drr in (-1, 0, 1):
+                    cr.append(np.clip(np.where(b_h < 0, 0, b_h + drr),
+                                      0, n - 2).reshape(-1))
+                    cc.append(c_h.reshape(-1))
+    inv_z, inv_id = P1.exact_tests(sx, sy, z, n, qx_f, qy_f,
+                                   np.stack(cr), np.stack(cc))
+
+    # windowed-exhaustive reference
+    r0_f = np.repeat(r0, HX)
+    c0_f = np.tile(c0, HY)
+    ex_z = np.full(qx_f.shape, np.inf, np.float32)
+    ex_id = np.full(qx_f.shape, -1, np.int64)
+    for s in range(0, len(qx_f), 1024):
+        sl = slice(s, s + 1024)
+        rr2, cc2 = [], []
+        for dr in range(-EX_R, EX_R + 1):
+            for dc in range(-EX_C, EX_C + 1):
+                rr2.append(np.round(r0_f[sl]).astype(np.int32) + dr)
+                cc2.append(c0_f[sl].astype(np.int32) + dc)
+        zz, ii = P1.exact_tests(sx, sy, z, n, qx_f[sl], qy_f[sl],
+                                np.stack(rr2), np.stack(cc2))
+        ex_z[sl] = zz
+        ex_id[sl] = ii
+
+    cov_ex = ex_id >= 0
+    match = (inv_id == ex_id) | (~cov_ex & (inv_id == -1))
+    ztie = ~match & (np.abs(inv_z - ex_z) < 1e-6)
+    mism = ~match & ~ztie
+    hole = mism & (inv_id == -1) & cov_ex
+    wrong = mism & (inv_id >= 0)
+    print(f"t={t_anim:5.3f}: exh-cov {cov_ex.mean()*100:5.2f}% | id-match "
+          f"{match.mean()*100:6.3f}% | +ztie {(match|ztie).mean()*100:6.3f}% | "
+          f"holes {hole.sum()} wrong {wrong.sum()} / {len(qx_f)}")
+    return (match | ztie).mean()
+
+
+if __name__ == "__main__":
+    verts, basemat, n = P1.load_scene()
+    sway = animation.default_sway(5.0)
+    t0 = time.time()
+    for t_anim in (1.25, 0.0, 3.125, 2.0):
+        run_frame(verts, basemat, n, t_anim, sway)
+    print(f"total {time.time()-t0:.1f}s")

@@ -47,10 +47,12 @@ def main():
                          "single frontal view (CPU-runnable); 2 = 720p d10 "
                          "120-frame sway; 3 = 64-pair batch d9 1080p; 4 = 4K "
                          "texture d12 with edge culling.")
-    ap.add_argument("--impl", choices=("auto", "pallas", "xla"), default="auto",
-                    help="Rasteriser implementation: auto = the Pallas kernel on "
-                         "real TPUs, the XLA tiled path elsewhere (Pallas only "
-                         "runs interpreted on CPU).")
+    ap.add_argument("--impl", choices=("auto", "pallas", "xla", "scan"),
+                    default="auto",
+                    help="Rasteriser implementation: auto = the tiled Pallas "
+                         "kernel on real TPUs, the XLA tiled path elsewhere "
+                         "(Pallas only runs interpreted on CPU); scan = the "
+                         "column-crossing-scan inverse rasteriser.")
     args = ap.parse_args()
 
     if args.preset == 1:
@@ -131,11 +133,21 @@ def main():
     if impl == "auto":
         impl = "pallas" if dev.platform == "tpu" else "xla"
         log(f"impl: {impl} (auto)")
-    render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
-    render = lambda m: render_fn(  # noqa: E731
-        m, vgrid, uvgrid, texture, args.width, args.height, config,
-        frame_batch=args.frame_batch,
-    )
+    if impl == "scan":
+        from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
+                                                       suggest_scan_config)
+
+        scan_cfg = suggest_scan_config(n, args.width, args.height)
+        log(f"scan config: {scan_cfg}")
+        render = lambda m: render_frames_scan(  # noqa: E731
+            m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,
+        )
+    else:
+        render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
+        render = lambda m: render_fn(  # noqa: E731
+            m, vgrid, uvgrid, texture, args.width, args.height, config,
+            frame_batch=args.frame_batch,
+        )
 
     t0 = time.perf_counter()
     frames = render(mvps)
@@ -152,7 +164,7 @@ def main():
         best = max(best, fps)
         log(f"rep {r}: {fps:.1f} frames/s ({dt * 1e3 / args.frames:.2f} ms/frame)")
 
-    if impl == "pallas" and not args.no_psnr_cross:
+    if impl in ("pallas", "scan") and not args.no_psnr_cross:
         # Default quality gate: the production kernel against the independent
         # XLA tiled implementation on the first frame — a perf "win" that broke
         # rendering shows up here in every bench artifact's diagnostics.
@@ -163,7 +175,7 @@ def main():
             mvps[:1], vgrid, uvgrid, texture, args.width, args.height, config,
             frame_batch=1))[0]
         cross = psnr(a, b)
-        log(f"pallas-vs-grid PSNR (frame 0): {cross:.1f} dB")
+        log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB")
         if cross < 40.0:
             log("WARNING: cross-implementation PSNR below the 40 dB gate!")
 
@@ -226,7 +238,16 @@ def bench_batch(args, dev):
     impl = args.impl
     if impl == "auto":
         impl = "pallas" if dev.platform == "tpu" else "xla"
-    render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
+    if impl == "scan":
+        from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
+                                                       suggest_scan_config)
+
+        scan_cfg = suggest_scan_config(n, args.width, args.height)
+
+        def render_fn(m, vg, uvg, tex, w, h, _config, frame_batch):
+            return render_frames_scan(m, vg, uvg, tex, w, h, scan_cfg)
+    else:
+        render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
 
     def scene_vgrid(s):
         d = np.clip(base_depth + rng.integers(-12, 13, base_depth.shape), 0, 255)

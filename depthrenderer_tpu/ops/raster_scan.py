@@ -1,0 +1,749 @@
+"""Pallas TPU inverse rasteriser — the column-crossing scan.
+
+Replaces the candidate-generation role of the GL pipeline's rasteriser
+(/root/reference/DepthRenderer/render.py:448 glDrawElements) for *grid* meshes
+at production density, where the projected cells are pixel-scale and novel-view
+rendering is a resampling problem: for each pixel, find the grid cell whose
+projected micro-triangle covers it, instead of testing every pixel against
+every candidate triangle (the tiled pair kernel's ~1000x overtest,
+ROADMAP.md "round-2 design").
+
+Algorithm (validated in experiments/scan_proto3.py against a windowed
+exhaustive reference: 99.5-99.9%% exact-winner agreement at d10/1080p on the
+default sway path; residual misses are stretched depth-edge triangles — the
+same class the tiled path's binning quantile drops, and exact under edge
+culling):
+
+1. **Column solve** (per 8-pixel-row band, scanning a depth-hull row window):
+   for each pixel row y and grid column c, find the rows where the projected
+   column polyline crosses the scanline qy ( sy[r,c] >= qy > sy[r+1,c] ).
+   The first ``nbr`` crossings in row order become *slots* (fold sheets own
+   separate slots). Each (y, slot, c) record stores the crossing x (sxc),
+   crossing depth (zc), bracket row (basew, window-local), and a vertical
+   *strip* of raw corner values sx/sy/z at rows basew-off .. basew-off+sr-1 —
+   captured in-loop from a rolling row ring, so the record is self-contained
+   and every later read is a gather along the **column axis only** (Mosaic
+   cannot lower 2D dynamic gathers; lane-dim gathers measure ~5.8 ns per
+   (8,128) vector, ROADMAP.md "Round-2 measurements").
+2. **March** (per 128-pixel block): the crossing-x curve sxc(y, slot, ·) is
+   transposed sublane-major once per band; a dense (cw x 128) outer sign test
+   finds columns whose crossing brackets the pixel's qx, keeping the best
+   ``hyps`` by crossing depth.
+3. **Exact tests**: for each hypothesis, gather the record at column c* and
+   its right neighbour, realign the neighbour strip by the bracket-row delta,
+   and run the oracle's exact edge functions on the sr-1 cells x 2 triangles.
+   Depth ties break to the lowest triangle id (GL first-drawn semantics,
+   matching ops/raster_reference.py).
+
+Perspective-correct attributes use the analytic inverse: for a grid mesh the
+corner UVs are affine in (row, col), and 1/w (and model z) of any corner are
+linear in its NDC coordinates via rows of the inverse MVP, so strips carry only
+(sx, sy, z) and the kernel reconstructs inv_w = minv[3] . [ndc, 1] per corner.
+
+Stages mirror the tiled Pallas path (raster_pallas.py): XLA prep (projection +
+hull bands + march anchors), one fused Pallas kernel (grid over pixel-row
+bands), XLA shade (common.shade — texture semantics of shader.frag:8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import common
+
+_FAR = float(common.FAR_SENTINEL)
+_NOBASE = -1.0e9  # basew sentinel for invalid records (fails every row test)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Static configuration for the column-crossing-scan rasteriser.
+
+    :param rmax: projected-grid rows DMA'd per band; must cover the depth-hull
+        row span (measured mean ~111, max 229 at d10/1080p on the sway path)
+        plus margins. Hull rows beyond this are clipped (reported by prep's
+        overflow diagnostic).
+    :param cw: march window width in grid columns (multiple of 128). Must cover
+        the anchor spread (measured ~[-30, +42] cols at p99.9) plus the block's
+        own 128-pixel extent in cells.
+    :param sr: strip rows per record; cells tested per record = sr - 1.
+    :param off: strip start offset above the bracket row.
+    :param nbr: crossing slots kept per (pixel row, column).
+    :param hyps: march hypotheses kept per slot (1 = top crossing by depth,
+        2 = top two; 2 costs ~2x fetch/exact work for ~+0.3pp winner agreement).
+    :param margin: hull margin in grid rows.
+    """
+
+    rmax: int = 320
+    cw: int = 256
+    sr: int = 12
+    off: int = 5
+    nbr: int = 2
+    hyps: int = 2
+    margin: int = 10
+
+    def __post_init__(self):
+        assert self.cw % 128 == 0 and self.cw >= 128
+        assert 0 < self.off < self.sr
+        assert 1 <= self.nbr <= 4
+        assert self.hyps in (1, 2)
+        assert self.rmax % 8 == 0
+
+    @property
+    def nrec(self) -> int:
+        """f32 record planes per slot: sxc, zc, basew + sr * (sx, sy, z)."""
+        return 3 + 3 * self.sr
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def suggest_scan_config(grid_n: int, width: int, height: int,
+                        **overrides) -> ScanConfig:
+    """Heuristic scan config for an ``grid_n``-vertex grid at the given output.
+
+    ``rmax`` scales with the grid (the depth-hull row span grows with density;
+    measured max 229 rows at n=1025/1080p on the sway path) and is capped at the
+    default 320; too-small values are *reported* by prep's overflow diagnostic,
+    not silent. ``cw`` covers a 128-pixel block's own extent in cells plus the
+    measured fold spread (~±40 cells at n=1025).
+    """
+    rmax = overrides.pop(
+        "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
+    )
+    # The march window is placed on a 128-column grid by rounding the block
+    # centre, so placement can be off-centre by up to 64 columns each way: cw
+    # must cover the needed span PLUS that 128-column slack, or some blocks
+    # silently lose left-side candidates (measured: uneven per-block flip
+    # rates at 1080p/d10 with cw=256). Needed half-span = half the block's own
+    # extent in cells + the fold/anchor spread (measured -78..+42 cols p99.9
+    # at n=1025, ~ grid_n/13) + margin.
+    cells_per_block = int(128 * grid_n / max(width, 1))
+    half_need = cells_per_block // 2 + grid_n // 13 + 12
+    cw = overrides.pop(
+        "cw",
+        max(128, min(_ceil_to(2 * half_need + 128, 128),
+                     _ceil_to(grid_n, 128))),
+    )
+    return ScanConfig(rmax=rmax, cw=cw, **overrides)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 (XLA): projection, hull bands, march anchors
+# ---------------------------------------------------------------------------
+
+
+def _monotone_interp(q, xp, fp):
+    """jnp.interp over a curve that may be increasing or decreasing in xp."""
+    flip = xp[-1] < xp[0]
+    xp = jnp.where(flip, -xp, xp)
+    q = jnp.where(flip, -q, q)
+    return jnp.interp(q, xp, fp)
+
+
+def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
+    """Project the grid and derive the kernel's per-band/per-block scalars.
+
+    :return: (win, w0, kb, ke, canch, overflow_rows) where ``win``
+        is the (3, RPAD, CL) channel-major projected grid (sx, sy, z; rows and
+        cols edge-padded), the band scalars are (nbands,)
+        int32 window origins / scan bounds, ``canch`` is (nblocks,) int32 march
+        window anchors in 128-column units, and ``overflow_rows`` counts hull
+        rows clipped by ``rmax`` (0 = the scan saw every candidate row).
+    """
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    mvp = jnp.asarray(mvp, jnp.float32)
+
+    sx, sy, z, _ = common.project_vertices(vertex_grid, mvp, width, height)
+
+    CL = _ceil_to(n_c, 128)
+    RPAD = max(_ceil_to(n_r, 8), config.rmax)
+    pad = ((0, RPAD - n_r), (0, CL - n_c))
+    win = jnp.stack([jnp.pad(a, pad, mode="edge") for a in (sx, sy, z)])
+
+    # Depth-hull anchors: mean projected row y at z=0 and z=zmax bound the
+    # rows whose crossings can reach a given scanline (scan_proto3.py).
+    zmax = jnp.max(vertex_grid[..., 2])
+    rows_f = jnp.arange(n_r, dtype=jnp.float32)
+    anchors = []
+    for zval in (jnp.zeros(()), zmax):
+        flat = vertex_grid[..., :2].reshape(-1, 2)
+        v = jnp.concatenate(
+            [flat, jnp.broadcast_to(zval, (flat.shape[0], 1))], axis=1
+        )
+        _, sy_a, _, _ = common.project_vertices(v, mvp, width, height)
+        anchors.append(sy_a.reshape(n_r, n_c).mean(axis=1))  # (n_r,)
+
+    nbands = -(-height // 8)
+    band = jnp.arange(nbands, dtype=jnp.float32)
+    qy_top = height - (band * 8.0 + 0.5)
+    qy_bot = height - (band * 8.0 + 7.5)
+    r_lo = jnp.full(nbands, jnp.inf, jnp.float32)
+    r_hi = jnp.full(nbands, -jnp.inf, jnp.float32)
+    for ry in anchors:
+        for qy in (qy_top, qy_bot):
+            r_at = _monotone_interp(qy, ry[::-1], rows_f[::-1])
+            r_lo = jnp.minimum(r_lo, r_at)
+            r_hi = jnp.maximum(r_hi, r_at)
+    r_lo = jnp.floor(r_lo - config.margin).astype(jnp.int32)
+    r_hi = jnp.ceil(r_hi + config.margin).astype(jnp.int32)
+    r_lo = jnp.clip(r_lo, 0, max(n_r - 2, 0))
+    r_hi = jnp.clip(r_hi, 0, max(n_r - 2, 0))
+
+    # Window origin: strip rows reach off below the first crossing row.
+    # Rounded down to a multiple of 8: the kernel's DMA source slice needs a
+    # provably sublane-aligned offset (Mosaic: "tile index ... divisible by
+    # the tiling (8)"), so w0 is passed in 8-row units.
+    w0 = jnp.clip(r_lo - (config.off + 3), 0, max(RPAD - config.rmax, 0))
+    w0 = (w0 // 8) * 8
+    kb = r_lo - w0
+    # Scan rows k in [kb, ke): needs row k+1; capture tail needs sr-off-1 more.
+    tail = config.sr - config.off
+    ke_cap = config.rmax - tail - 1
+    ke = jnp.minimum(r_hi + 1 - w0, jnp.minimum(n_r - 1 - w0, ke_cap))
+    ke = jnp.maximum(ke, kb)
+    overflow_rows = jnp.sum(jnp.maximum((r_hi + 1 - w0) - ke_cap, 0))
+
+    # March anchors per 128-pixel block from the mean projected column x.
+    col_x = sx.mean(axis=0)  # (n_c,)
+    nblocks = -(-width // 128)
+    qx_c = jnp.arange(nblocks, dtype=jnp.float32) * 128.0 + 64.0
+    c0 = _monotone_interp(qx_c, col_x, jnp.arange(n_c, dtype=jnp.float32))
+    canch = jnp.clip(
+        jnp.round((c0 - config.cw / 2.0) / 128.0).astype(jnp.int32),
+        0,
+        max((CL - config.cw) // 128, 0),
+    )
+
+    return (win, (w0 // 8).astype(jnp.int32), kb.astype(jnp.int32),
+            ke.astype(jnp.int32), canch, overflow_rows)
+
+
+_prep_scan = jax.jit(
+    _prep_scan_impl, static_argnames=("width", "height", "config")
+)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 (Pallas): fused solve + march + exact-test kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
+                 *refs, config: ScanConfig, width: int, height: int,
+                 n_r: int, n_c: int, cl: int, wl: int,
+                 debug_records: bool = False, phases: str = "all"):
+    if debug_records:
+        out_ref, dbg_ref, win_ref, rec_ref, curve_ref, sem = refs
+    else:
+        out_ref, win_ref, rec_ref, curve_ref, sem = refs
+    """One grid step per 8-pixel-row band: DMA the hull row window, solve the
+    column crossings into self-contained records, then march + exact-test each
+    128-pixel block.
+
+    Scratch: ``win_ref`` (3, rmax, CL) projected rows; ``rec_ref``
+    (nbr, nrec, 8, CL) records; ``curve_ref`` (nbr, 2, CL, 8) sublane-major
+    sxc/zc curves for the march.
+    """
+    i = pl.program_id(0)
+    SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
+    w0 = w0_ref[i] * 8  # passed in 8-row units: provably tile-aligned offset
+    kb = kb_ref[i]
+    ke = ke_ref[i]
+
+    copy = pltpu.make_async_copy(
+        win_hbm.at[:, pl.ds(w0, config.rmax), :], win_ref, sem
+    )
+    copy.start()
+    copy.wait()
+
+    nchunks = cl // 128
+
+    qy_col = (
+        height
+        - (i * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)).astype(
+            jnp.float32
+        )
+        - 0.5
+    )  # (8, 1) scanline y per band row
+
+    # ---------------- Phase S: column solve + strip capture ----------------
+    # Rows are consumed in sublane-aligned blocks of 8 with *static* sub-row
+    # slicing (Mosaic cannot lower a dynamically-offset single-row vector
+    # load: "dynamic load with unaligned indices"); one block load serves 8
+    # scan steps. The loop starts OFF+1 rows before the first scanned row so
+    # the strip ring (rows k-OFF..k) is warm when crossings begin.
+    nrow_blocks = config.rmax // 8
+
+    def load_block(v, b, chunk):
+        """Window rows 8b..8b+7 of channel v as (8, 128)."""
+        return win_ref[v, pl.ds(b * 8, 8), pl.ds(chunk * 128, 128)].reshape(
+            8, 128
+        )
+
+    def solve_chunk(chunk, _):
+        def init_slot():
+            zero = jnp.zeros((8, 128), jnp.float32)
+            return (
+                jnp.full((8, 128), _FAR, jnp.float32),   # sxc
+                jnp.full((8, 128), _FAR, jnp.float32),   # zc
+                jnp.full((8, 128), _NOBASE, jnp.float32),  # basew
+                tuple(tuple(zero for _ in range(3)) for _ in range(SR)),
+            )
+
+        tail = SR - OFF - 1
+        b_begin = jnp.maximum(kb - (OFF + 1), 0) // 8
+        b_end = (ke + tail + 7) // 8
+
+        def body(b, carry):
+            cnt, slots, ring, cur = carry
+            bn = jnp.minimum(b + 1, nrow_blocks - 1)
+            nxt = tuple(load_block(v, bn, chunk) for v in range(3))
+            for j in range(8):
+                k = b * 8 + j
+                kf = k.astype(jnp.float32)
+                row0 = tuple(cur[v][j : j + 1] for v in range(3))  # row k
+                row1 = tuple(  # row k+1
+                    cur[v][j + 1 : j + 2] if j < 7 else nxt[v][0:1]
+                    for v in range(3)
+                )
+                ring = (row0,) + ring[1:]  # ring[m] = win row k - m
+                s_hi = row0[1]
+                s_lo = row1[1]
+                cross = (
+                    (s_hi >= qy_col) & (s_lo < qy_col) & (k >= kb) & (k < ke)
+                )
+                denom = jnp.maximum(s_hi - s_lo, 1e-12)
+                frac = jnp.where(cross, (s_hi - qy_col) / denom, 0.0)
+                sxc_new = row0[0] + (row1[0] - row0[0]) * frac
+                zc_new = row0[2] + (row1[2] - row0[2]) * frac
+
+                new_slots = []
+                for s in range(NBR):
+                    sxc_s, zc_s, bw_s, strips = slots[s]
+                    fire = cross & (cnt == jnp.float32(s))
+                    sxc_s = jnp.where(fire, sxc_new, sxc_s)
+                    zc_s = jnp.where(fire, zc_new, zc_s)
+                    bw_s = jnp.where(fire, kf, bw_s)
+                    new_strips = []
+                    for sj in range(SR):
+                        row_vals = []
+                        if sj <= OFF:
+                            src = ring[OFF - sj]  # win[k - off + sj]
+                            for v in range(3):
+                                row_vals.append(
+                                    jnp.where(fire, src[v], strips[sj][v])
+                                )
+                        elif sj == OFF + 1:
+                            for v in range(3):
+                                row_vals.append(
+                                    jnp.where(fire, row1[v], strips[sj][v])
+                                )
+                        else:
+                            # deferred: capture row k+1 into records whose
+                            # strip row sj is that row: basew - off + sj == k+1
+                            m = bw_s == (kf + 1.0 - jnp.float32(sj - OFF))
+                            for v in range(3):
+                                row_vals.append(
+                                    jnp.where(m, row1[v], strips[sj][v])
+                                )
+                        new_strips.append(tuple(row_vals))
+                    new_slots.append((sxc_s, zc_s, bw_s, tuple(new_strips)))
+                slots = tuple(new_slots)
+                cnt = cnt + jnp.where(cross, 1.0, 0.0)
+                ring = (row0,) + ring[:-1]  # shift: next step's k-1 is this k
+            return cnt, slots, ring, nxt
+
+        cnt0 = jnp.zeros((8, 128), jnp.float32)
+        slots0 = tuple(init_slot() for _ in range(NBR))
+        zero_row = jnp.zeros((1, 128), jnp.float32)
+        ring0 = tuple((zero_row,) * 3 for _ in range(OFF + 1))
+        cur0 = tuple(load_block(v, b_begin, chunk) for v in range(3))
+        _, slots, _, _ = jax.lax.fori_loop(
+            b_begin, b_end, body, (cnt0, slots0, ring0, cur0)
+        )
+
+        csl = pl.ds(chunk * 128, 128)
+        for s in range(NBR):
+            sxc_s, zc_s, bw_s, strips = slots[s]
+            rec_ref[s, 0, :, csl] = sxc_s
+            rec_ref[s, 1, :, csl] = zc_s
+            rec_ref[s, 2, :, csl] = bw_s
+            for j in range(SR):
+                for v in range(3):
+                    rec_ref[s, 3 + j * 3 + v, :, csl] = strips[j][v]
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, solve_chunk, 0)
+
+    # Sublane-major crossing curves for the march (one transpose per band).
+    for s in range(NBR):
+        curve_ref[s, 0] = jnp.transpose(rec_ref[s, 0], (1, 0))
+        curve_ref[s, 1] = jnp.transpose(rec_ref[s, 1], (1, 0))
+    if debug_records:
+        for p in range(config.nrec):
+            dbg_ref[0, 0, p] = rec_ref[0, p]
+
+    # ---------------- Phase M+E: march, fetch, exact tests ----------------
+    # minv rows 2, 3 — element reads (only scalars can load from SMEM)
+    m2r = [fconst_ref[k] for k in range(4)]
+    m3r = [fconst_ref[4 + k] for k in range(4)]
+    iota_cw = jax.lax.broadcasted_iota(jnp.int32, (CW, 128), 0).astype(jnp.float32)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
+    nsub = CW // 128
+    inv_ncm1 = 1.0 / jnp.float32(max(n_c - 1, 1))
+    inv_nrm1 = 1.0 / jnp.float32(max(n_r - 1, 1))
+    w0f = w0.astype(jnp.float32)
+
+    def gather_rec(s, plane, canch, idx):
+        """rec[s, plane, y, canch*128 + idx] as (8, 128) — mod-128 subtables."""
+        parts = []
+        for t in range(nsub):
+            tab = rec_ref[
+                s, plane, :, pl.ds(pl.multiple_of((canch + t) * 128, 128), 128)
+            ]
+            parts.append(tab)
+        idc = jnp.clip(idx, 0, CW - 1)
+        sub = jnp.clip(idc, 0, 127)
+        g = jnp.take_along_axis(parts[0], sub, axis=1)
+        for t in range(1, nsub):
+            subt = jnp.clip(idc - t * 128, 0, 127)
+            g = jnp.where(
+                idc >= t * 128, jnp.take_along_axis(parts[t], subt, axis=1), g
+            )
+        return g
+
+    def march_block(blk, _):
+        canch = canch_ref[blk]
+        qx = (blk * 128).astype(jnp.float32) + lane_f + 0.5  # (8, 128)
+        cgf = canch.astype(jnp.float32) * 128.0
+
+        best = (
+            jnp.full((8, 128), _FAR, jnp.float32),   # z
+            jnp.full((8, 128), jnp.float32(2.0e30), jnp.float32),  # id
+            jnp.zeros((8, 128), jnp.float32),        # u/w
+            jnp.zeros((8, 128), jnp.float32),        # v/w
+            jnp.zeros((8, 128), jnp.float32),        # 1/w
+        )
+
+        for s in range(NBR):
+            # -- march: dense (CW x 128) outer sign test, top-`hyps` by zc --
+            sxc_t = curve_ref[s, 0, pl.ds(pl.multiple_of(canch * 128, 128), CW), :]
+            zc_t = curve_ref[s, 1, pl.ds(pl.multiple_of(canch * 128, 128), CW), :]
+            hyp_idx = []
+            for y in range(8):
+                c = sxc_t[:, y : y + 1]          # (CW, 1)
+                zz = zc_t[:, y : y + 1]
+                f = c - (qx[y : y + 1, :])       # (CW, 128) row y's qx ramp
+                f2 = pltpu.roll(f, CW - 1, 0)
+                hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
+                key = jnp.where(hit, zz, _FAR)
+                m1 = jnp.min(key, axis=0, keepdims=True)
+                o1 = jnp.min(
+                    jnp.where(key == m1, iota_cw, jnp.float32(CW)),
+                    axis=0,
+                    keepdims=True,
+                )
+                ys = [o1]
+                if config.hyps == 2:
+                    key2 = jnp.where(iota_cw == o1, _FAR, key)
+                    m2 = jnp.min(key2, axis=0, keepdims=True)
+                    o2 = jnp.min(
+                        jnp.where(key2 == m2, iota_cw, jnp.float32(CW)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    ys.append(o2)
+                hyp_idx.append(ys)
+            hyps_i = [
+                jnp.concatenate([hyp_idx[y][h] for y in range(8)], axis=0)
+                for h in range(config.hyps)
+            ]  # each (8, 128) f32 window-local col
+
+            for h in range(config.hyps):
+                jf = jnp.clip(hyps_i[h], 0.0, jnp.float32(CW - 1))
+                j_i = jf.astype(jnp.int32)
+                best = _exact_record(
+                    best, s, j_i, canch, cgf, qx, qy_col, gather_rec,
+                    m3r, config, width, height, w0f, inv_ncm1, inv_nrm1,
+                    n_r, n_c,
+                )
+
+        bz, bid, uw, vw, iw = best
+        cov = bz < _FAR
+        den = jnp.where(jnp.abs(iw) > 1e-30, iw, 1.0)
+        u = jnp.where(cov, uw / den, 0.0)
+        v = jnp.where(cov, vw / den, 0.0)
+        # analytic model z: rows 2/3 of the inverse MVP applied to pixel NDC
+        ndcx = qx * (2.0 / width) - 1.0
+        ndcy = qy_col * jnp.ones((8, 128), jnp.float32) * (2.0 / height) - 1.0
+        num = m2r[0] * ndcx + m2r[1] * ndcy + m2r[2] * bz + m2r[3]
+        zm = jnp.where(cov, num / den, 0.0)
+
+        xsl = pl.ds(blk * 128, 128)
+        out_ref[0, 0, :, xsl] = u
+        out_ref[0, 1, :, xsl] = v
+        out_ref[0, 2, :, xsl] = zm
+        out_ref[0, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
+        out_ref[0, 4, :, xsl] = bz
+        for ch in range(5, 8):
+            out_ref[0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
+        return 0
+
+    if phases == "all":
+        jax.lax.fori_loop(0, wl // 128, march_block, 0)
+    else:  # solve-only profiling variant: skip the march, blank the output
+        out_ref[...] = jnp.zeros((1, 8, 8, wl), jnp.float32)
+
+
+def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
+                  config: ScanConfig, width, height, w0f, inv_ncm1, inv_nrm1,
+                  n_r, n_c):
+    """Fetch record s@j and its right neighbour, realign, run the exact
+    edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
+    winner carry (min z, ties to lowest triangle id)."""
+    SR, OFF = config.sr, config.off
+    j1 = j_i
+    j2 = j_i + 1
+
+    bw1 = gather_rec(s, 2, canch, j1)
+    bw2 = gather_rec(s, 2, canch, j2)
+    strip1 = [
+        tuple(gather_rec(s, 3 + j * 3 + v, canch, j1) for v in range(3))
+        for j in range(SR)
+    ]
+    strip2 = [
+        tuple(gather_rec(s, 3 + j * 3 + v, canch, j2) for v in range(3))
+        for j in range(SR)
+    ]
+
+    # realign the neighbour strip: aligned2[k] = strip2[k - d], d = bw2 - bw1.
+    # The full delta range matters: capping |d| at 3 measurably loses fold
+    # cells (scan_proto3 DMAX sweep: 99.03% -> 99.47% winner agreement).
+    d = bw2 - bw1
+    nanv = jnp.float32(jnp.nan)
+    deltas = {
+        delta: d == jnp.float32(delta) for delta in range(-(SR - 1), SR)
+    }
+    aligned2 = []
+    for k in range(SR):
+        acc = (nanv * jnp.ones_like(bw1),) * 3
+        for delta in range(-(SR - 1), SR):
+            kk = k - delta
+            if 0 <= kk < SR:
+                m = deltas[delta]
+                acc = tuple(
+                    jnp.where(m, strip2[kk][v], acc[v]) for v in range(3)
+                )
+        aligned2.append(acc)
+
+    # per-corner analytic 1/w = minv[3] . [ndcx, ndcy, ndcz, 1]
+    sxw = 2.0 / width
+    syw = 2.0 / height
+
+    def invw_of(corner):
+        csx, csy, cz = corner
+        return (
+            m3r[0] * (csx * sxw - 1.0)
+            + m3r[1] * (csy * syw - 1.0)
+            + m3r[2] * cz
+            + m3r[3]
+        )
+
+    iw1 = [invw_of(strip1[k]) for k in range(SR)]
+    iw2 = [invw_of(aligned2[k]) for k in range(SR)]
+
+    cg = cgf + j1.astype(jnp.float32)          # global record col (8,128)
+    u0 = cg * inv_ncm1
+    u1 = (cg + 1.0) * inv_ncm1
+    rg0 = w0f + bw1 - jnp.float32(OFF)         # global row of strip row 0
+    valid_rec = bw1 > jnp.float32(_NOBASE + 1.0)
+    col_ok = valid_rec & (cg <= jnp.float32(n_c - 2))
+
+    bz, bid, buw, bvw, biw = best
+    qy = qy_col * jnp.ones_like(qx)
+
+    for k in range(SR - 1):
+        r_cell = rg0 + jnp.float32(k)
+        cell_ok = col_ok & (r_cell >= 0.0) & (r_cell <= jnp.float32(n_r - 2))
+        v_top = 1.0 - r_cell * inv_nrm1
+        v_bot = 1.0 - (r_cell + 1.0) * inv_nrm1
+        x00, y00, z00 = strip1[k]
+        x10, y10, z10 = strip1[k + 1]
+        x01, y01, z01 = aligned2[k]
+        x11, y11, z11 = aligned2[k + 1]
+        i00, i10, i01, i11 = iw1[k], iw1[k + 1], iw2[k], iw2[k + 1]
+        base_id = (r_cell * jnp.float32(n_c - 1) + cg) * 2.0
+
+        for diag in (0, 1):
+            if diag == 0:
+                ax, ay, az, aiw, au, av = x00, y00, z00, i00, u0, v_top
+                bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
+                cx, cy, cz, ciw, cu, cv = x01, y01, z01, i01, u1, v_top
+            else:
+                ax, ay, az, aiw, au, av = x01, y01, z01, i01, u1, v_top
+                bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
+                cx, cy, cz, ciw, cu, cv = x11, y11, z11, i11, u1, v_bot
+
+            area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            ok = cell_ok & (area2 > 1e-12)
+            inv_a = jnp.where(ok, 1.0 / jnp.where(ok, area2, 1.0), 0.0)
+            e0 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
+            e1 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
+            e2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+            l0 = e0 * inv_a
+            l1 = e1 * inv_a
+            l2 = e2 * inv_a
+            zz = l0 * az + l1 * bz_ + l2 * cz
+            cov = (
+                ok
+                & (l0 >= 0.0)
+                & (l1 >= 0.0)
+                & (l2 >= 0.0)
+                & (zz >= -1.0)
+                & (zz <= 1.0)
+            )
+            tid = base_id + jnp.float32(diag)
+            better = cov & ((zz < bz) | ((zz == bz) & (tid < bid)))
+            uw = l0 * (au * aiw) + l1 * (bu * biw_) + l2 * (cu * ciw)
+            vw = l0 * (av * aiw) + l1 * (bv * biw_) + l2 * (cv * ciw)
+            iw = l0 * aiw + l1 * biw_ + l2 * ciw
+            bz = jnp.where(better, zz, bz)
+            bid = jnp.where(better, tid, bid)
+            buw = jnp.where(better, uw, buw)
+            bvw = jnp.where(better, vw, bvw)
+            biw = jnp.where(better, iw, biw)
+
+    return bz, bid, buw, bvw, biw
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "n_r", "n_c", "config",
+                              "interpret", "debug_records", "phases")
+)
+def _raster_scan_pallas(win, minv_rows, w0, kb, ke, canch, width, height,
+                        n_r, n_c, config: ScanConfig, interpret: bool = False,
+                        debug_records: bool = False, phases: str = "all"):
+    """Run the fused scan kernel -> (nbands, 8, 8, WL) f32 [u, v, zm, cov, z].
+
+    With ``debug_records`` also returns slot 0's full record planes,
+    (nbands, 1, nrec, 8, CL) — forensic hook for validating the compiled
+    solve against a host-side replica."""
+    cl = win.shape[2]
+    wl = _ceil_to(width, 128)
+    nbands = -(-height // 8)
+
+    out_specs = pl.BlockSpec(
+        (1, 8, 8, wl), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((nbands, 8, 8, wl), jnp.float32)
+    if debug_records:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, 1, config.nrec, 8, cl), lambda i, *_: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (nbands, 1, config.nrec, 8, cl), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nbands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((3, config.rmax, cl), jnp.float32),
+            pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32),
+            pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _scan_kernel, config=config, width=width, height=height,
+        n_r=n_r, n_c=n_c, cl=cl, wl=wl, debug_records=debug_records,
+        phases=phases,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(w0, kb, ke, canch, minv_rows, win)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 (XLA): assembly + shade
+# ---------------------------------------------------------------------------
+
+
+def _shade_scan_impl(bands, texture_f32, width, height, mode: str):
+    nbands = bands.shape[0]
+    full = bands.transpose(0, 2, 1, 3).reshape(nbands * 8, 8, -1)
+    full = full[:height, :, :width]
+    u, v, zm, covf = full[:, 0], full[:, 1], full[:, 2], full[:, 3] > 0.5
+    return common.shade(covf, u, v, zm, texture_f32, mode)
+
+
+_shade_scan = jax.jit(
+    _shade_scan_impl, static_argnames=("width", "height", "mode")
+)
+
+
+# ---------------------------------------------------------------------------
+# Public API (mirrors raster_pallas)
+# ---------------------------------------------------------------------------
+
+
+def render_frame_scan(mvp, vertex_grid, uv_grid, texture_f32, width, height,
+                      config: ScanConfig = ScanConfig(), mode: str = "texture",
+                      interpret: bool = False):
+    """Render one frame via the column-crossing-scan path -> (H, W, 4) uint8.
+
+    ``uv_grid`` must be the standard grid-mesh parameterisation
+    (u = col/(n_c-1), v = 1 - row/(n_r-1), meshgen.py / reference
+    render.py:496-497): the kernel reconstructs UVs analytically instead of
+    storing them in records.
+    """
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    del uv_grid  # analytic (asserted by tests against meshgen's output)
+    win, w0, kb, ke, canch, _ = _prep_scan(
+        mvp, vertex_grid, width, height, config
+    )
+    # rows 2 and 3 of the inverse MVP, in f64 on the host (TPU jit would
+    # silently degrade float64 to float32): analytic z_model / inv_w source.
+    import numpy as _np
+
+    minv = _np.linalg.inv(_np.asarray(mvp, _np.float64))
+    minv_rows = jnp.asarray(
+        _np.concatenate([minv[2], minv[3]]).astype(_np.float32)
+    )
+    bands = _raster_scan_pallas(
+        win, minv_rows, w0, kb, ke, canch, width, height, n_r, n_c, config,
+        interpret,
+    )
+    return _shade_scan(bands, texture_f32, width, height, mode)
+
+
+def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
+                       config: ScanConfig = ScanConfig(),
+                       mode: str = "texture", interpret: bool = False):
+    """Batched frames via the scan path -> (T, H, W, 4) uint8.
+
+    Per-frame dispatches (prep / kernel / shade are separately jitted and
+    pipeline asynchronously, raster_pallas.py's composition note applies).
+    """
+    mvps = jnp.asarray(mvps, jnp.float32)
+    frames = [
+        render_frame_scan(mvps[t], vertex_grid, uv_grid, texture_f32, width,
+                          height, config, mode, interpret)
+        for t in range(mvps.shape[0])
+    ]
+    return jnp.stack(frames, axis=0)

@@ -131,7 +131,17 @@ class MeshRenderer:
         )
         if self._mesh.is_grid and self.impl != "soup":
             cfg = self.config if self.config is not None else RasterConfig()
-            if self.impl == "pallas":
+            if self.impl == "scan":
+                from .ops import raster_scan
+
+                n = self._vgrid.shape[0]
+                frame = raster_scan.render_frame_scan(
+                    mvp, self._vgrid, self._uvgrid, self._texture_f32,
+                    self.width, self.height,
+                    raster_scan.suggest_scan_config(n, self.width, self.height),
+                    self.mode,
+                )
+            elif self.impl == "pallas":
                 from .ops import raster_pallas
 
                 frame = raster_pallas.render_frame_pallas(
@@ -252,7 +262,12 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
 
     assert mesh.is_grid, "render_clip requires a grid mesh (use rasterize_soup otherwise)"
     vgrid, uvgrid, n = _grid_arrays(mesh)
-    if config is not None:
+    impl = _auto_impl() if impl == "auto" else impl
+    if impl == "scan" and edge_cull_threshold is not None:
+        log("NOTICE: the scan rasteriser does not implement edge culling yet; "
+            "falling back to the tiled path for this clip.")
+        impl = _auto_impl()
+    if impl == "scan" or config is not None:
         cfg = config
     else:
         # Size the candidate windows from the clip's actual camera path — roughly
@@ -294,8 +309,27 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
     collected = [] if on_frames is None else None
 
     pending = []  # (start, device_frames) — keep a chunk in flight
-    impl = _auto_impl() if impl == "auto" else impl
-    if impl == "pallas":
+    if impl == "scan":
+        from .ops import raster_scan
+
+        scan_cfg = raster_scan.suggest_scan_config(n, width, height)
+        # Surface hull-window clipping the way the tiled path surfaces binning
+        # overflow (sampled views; 0 = the scan saw every candidate row).
+        sample = mvps[np.linspace(0, total - 1, min(3, total)).astype(int)]
+        ovf = max(
+            int(raster_scan._prep_scan(m, vgrid, width, height, scan_cfg)[-1])
+            for m in sample
+        )
+        if ovf:
+            log(f"WARNING: scan depth-hull window clipped {ovf} candidate "
+                f"row(s) at the sampled views (rmax={scan_cfg.rmax}); raise "
+                f"ScanConfig.rmax or expect misses at extreme depth relief.")
+
+        def frames_fn(mvps_c, vg, uvg, tex, w, h, _cfg, mode_, frame_batch):
+            return raster_scan.render_frames_scan(
+                mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_
+            )
+    elif impl == "pallas":
         from .ops import raster_pallas
 
         frames_fn = raster_pallas.render_frames_pallas

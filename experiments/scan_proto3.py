@@ -141,7 +141,8 @@ def run_frame(verts, basemat, n, t_anim, sway, SUB=16):
     mvp = basemat @ anim
     sx, sy, z = P1.project(verts, mvp)
 
-    ys = np.arange(0, P1.H, SUB)
+    ylo, yhi = (int(v) for v in os.environ.get("ROWS", f"0,{P1.H}").split(","))
+    ys = np.arange(ylo, yhi, SUB)
     xs = np.arange(0, P1.W, SUB)
     qy_rows = P1.H - (ys + 0.5)
     qx_cols = xs + 0.5
@@ -193,6 +194,8 @@ def run_frame(verts, basemat, n, t_anim, sway, SUB=16):
             b1 = base[yi, slot, c2]
             v1 = valid[yi, slot, c2]
             d = b1 - b0
+            DMAX = int(os.environ.get('DMAX', '99'))
+            d = np.where(np.abs(d) <= DMAX, d, 10_000)
             st = np.zeros(strip[yi, slot, c_h_flat].shape, np.float32)
             st[:, :, 0] = strip[yi, slot, c_h_flat][:, :, 0]
             kk = np.arange(SR)[None, :]
@@ -246,7 +249,7 @@ def run_frame(verts, basemat, n, t_anim, sway, SUB=16):
     row_y = sy.mean(axis=1)
     r0 = np.clip(np.interp(qy_rows, row_y[::-1],
                            np.arange(n, dtype=np.float64)[::-1]), 0, n - 2)
-    cache_f = f"{CACHE}_t{t_anim}_s{SUB}.npz"
+    cache_f = f"{CACHE}_t{t_anim}_s{SUB}_r{ylo}_{yhi}.npz" if (ylo, yhi) != (0, P1.H) else f"{CACHE}_t{t_anim}_s{SUB}.npz"
     if os.path.exists(cache_f):
         d = np.load(cache_f)
         ex_z, ex_id = d["ex_z"], d["ex_id"]

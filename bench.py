@@ -131,7 +131,11 @@ def main():
 
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if dev.platform == "tpu" else "xla"
+        # The scan inverse rasteriser is the production fast path on real TPUs
+        # (~8x the tiled kernel at 1080p/d10). It shares the tiled default's
+        # candidate compromise class at depth edges (see ROADMAP.md round-2
+        # results); the tiled paths remain the reference-quality options.
+        impl = "scan" if dev.platform == "tpu" else "xla"
         log(f"impl: {impl} (auto)")
     if impl == "scan":
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
@@ -141,6 +145,7 @@ def main():
         log(f"scan config: {scan_cfg}")
         render = lambda m: render_frames_scan(  # noqa: E731
             m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,
+            raw_u32=True,
         )
     else:
         render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
@@ -170,13 +175,24 @@ def main():
         # rendering shows up here in every bench artifact's diagnostics.
         from depthrenderer_tpu.utils import psnr
 
-        a = np.asarray(frames[0])
+        if impl == "scan":
+            from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
+
+            a = unpack_raw_frames(np.asarray(frames[:1]), args.width,
+                                  args.height)[0]
+        else:
+            a = np.asarray(frames[0])
         b = np.asarray(render_frames_grid(
             mvps[:1], vgrid, uvgrid, texture, args.width, args.height, config,
             frame_batch=1))[0]
         cross = psnr(a, b)
         log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB")
-        if cross < 40.0:
+        if cross < 40.0 and impl == "scan":
+            log("NOTE: the scan path's winner-flip class vs the tiled grid "
+                "(stretched depth-edge triangles, ~0.7% of pixels at d10) "
+                "bounds this comparison near ~33 dB; see ROADMAP.md. The "
+                "ground-truth gate is tests/test_gl_groundtruth.py.")
+        elif cross < 40.0:
             log("WARNING: cross-implementation PSNR below the 40 dB gate!")
 
     if args.psnr_check:

@@ -247,12 +247,19 @@ def sample_texture_bilinear(texture_f32, u, v):
     return top + (bot - top) * fy
 
 
-def shade(covered, u, v, z_model, texture_f32, mode: str):
-    """Fragment shading: texture mode (``shader.frag``) or debug-z mode
-    (``debug_shader.frag``: grayscale of model-space z, alpha from texture).
+def shade(covered, u, v, z_model, texture_f32, mode: str, min_lam=None):
+    """Fragment shading: texture mode (``shader.frag``), debug-z mode
+    (``debug_shader.frag``: grayscale of model-space z, alpha from texture), or
+    wireframe (texture shading restricted to pixels near a triangle edge —
+    winner min-barycentric <= threshold; the headless analogue of the
+    reference's GL_LINE toggle, ``render.py:853-859``; requires ``min_lam``).
 
     Returns (..., 4) uint8 with the black clear colour where uncovered.
     """
+    if mode == "wireframe":
+        assert min_lam is not None, "wireframe shading needs the winner min-bary"
+        covered = covered & (min_lam <= WIREFRAME_EDGE_THRESHOLD)
+        mode = "texture"
     tex = sample_texture_bilinear(texture_f32, u, v)
     if mode == "texture":
         rgba = tex

@@ -335,6 +335,9 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
         picked = jnp.matmul(first, attr.reshape(TC, 12), precision=_HIGHEST)
         attrs = jnp.einsum("pax,px->pa", picked.reshape(P, 4, 3), Q,
                            precision=_HIGHEST)
+        # Winner min-barycentric (wireframe shading needs it; ~2 extra ops).
+        minl = jnp.sum(first * jnp.minimum(l0, jnp.minimum(l1, l2)), axis=1)
+        attrs = jnp.concatenate([attrs, minl[:, None]], axis=1)  # (P, 5)
         better = chunk_best < best_z
         best_z = jnp.where(better, chunk_best, best_z)
         best_attrs = jnp.where(better[:, None], attrs, best_attrs)
@@ -346,7 +349,7 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     varying_zero = cov_planes[0, 0, 0, 0] * 0.0
     init = (
         jnp.full((P,), common.FAR_SENTINEL, jnp.float32) + varying_zero,
-        jnp.zeros((P, 4), jnp.float32) + varying_zero,
+        jnp.zeros((P, 5), jnp.float32) + varying_zero,
     )
     (best_z, best_attrs), _ = jax.lax.scan(step, init, (cov_planes, attr_planes))
     covered = best_z < common.FAR_SENTINEL
@@ -356,7 +359,8 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     v = best_attrs[:, 1] / den
     z_model = best_attrs[:, 3] / den
 
-    rgba = common.shade(covered, u, v, z_model, texture_f32, mode)
+    rgba = common.shade(covered, u, v, z_model, texture_f32, mode,
+                        min_lam=best_attrs[:, 4])
     return rgba.reshape(th, tw, 4)
 
 

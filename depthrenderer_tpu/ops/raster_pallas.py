@@ -236,9 +236,11 @@ def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
                 + picked[:, 3 * a + 1 : 3 * a + 2] * qy
                 + picked[:, 3 * a + 2 : 3 * a + 3]
                 for a in range(4)
-            ],
+            ]
+            + [jnp.sum(first * jnp.minimum(l0, jnp.minimum(l1, l2)), axis=1,
+                       keepdims=True)],  # winner min-bary (wireframe mode)
             axis=1,
-        )  # (P, 4): u/w, v/w, 1/w, zm/w.
+        )  # (P, 5): u/w, v/w, 1/w, zm/w, min-lambda.
 
         better = chunk_best < best_z
         return (
@@ -248,7 +250,7 @@ def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
 
     init = (
         jnp.full((P, 1), _FAR, jnp.float32),
-        jnp.zeros((P, 4), jnp.float32),
+        jnp.zeros((P, 5), jnp.float32),
     )
 
     best_z, best_attr = jax.lax.fori_loop(jlo_ref[i], jhi_ref[i], body, init)
@@ -258,11 +260,12 @@ def _pair_kernel(px0_ref, py0_ref, jlo_ref, jhi_ref, cov_ref, attr_ref, out_ref,
     den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
     out_ref[0] = jnp.concatenate(
         [best_attr[:, 0:1] / den, best_attr[:, 1:2] / den,
-         best_attr[:, 3:4] / den, cov_flag, best_z,
-         jnp.zeros((P, 3), jnp.float32)],
+         best_attr[:, 3:4] / den, cov_flag, best_z, best_attr[:, 4:5],
+         jnp.zeros((P, 2), jnp.float32)],
         axis=1,
-    )  # (P, 8): u, v, z_model, coverage, best_z, pad — z enables multi-window
-    # merging (two row-anchored windows per tile cover spans up to 2x the window).
+    )  # (P, 8): u, v, z_model, coverage, best_z, min-lambda, pad — z enables
+    # multi-window merging (two row-anchored windows per tile cover spans up to
+    # 2x the window).
 
 
 @functools.partial(jax.jit, static_argnames=("config", "height"))
@@ -409,12 +412,13 @@ def _shade_stage_impl(tiles, texture_f32, width, height, config: RasterConfig,
         take_b = b[..., 4] < a[..., 4]
         merged = jnp.where(take_b[..., None], b, a)
     full = (
-        merged[..., :4].reshape(ntr, ntc, th, tw, 4)
+        merged[..., :6].reshape(ntr, ntc, th, tw, 6)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(ntr * th, ntc * tw, 4)[:height, :width]
+        .reshape(ntr * th, ntc * tw, 6)[:height, :width]
     )
     u, v, zm, covf = full[..., 0], full[..., 1], full[..., 2], full[..., 3] > 0.5
-    return common.shade(covf, u, v, zm, texture_f32, mode)
+    return common.shade(covf, u, v, zm, texture_f32, mode,
+                        min_lam=full[..., 5])
 
 
 _shade_stage = jax.jit(_shade_stage_impl,

@@ -87,6 +87,13 @@ class ScanConfig:
     nbr: int = 2
     hyps: int = 2
     margin: int = 10
+    # In-kernel shading texture window (per 128-pixel block): rows / cols of
+    # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
+    # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
+    # tx <= 237 px); outliers clamp to the window edge (bounded mis-sample at
+    # extreme depth folds, same class as the candidate compromise).
+    tex_rows: int = 128
+    tex_cols: int = 384
 
     def __post_init__(self):
         assert self.cw % 128 == 0 and self.cw >= 128
@@ -94,6 +101,7 @@ class ScanConfig:
         assert 1 <= self.nbr <= 4
         assert self.hyps in (1, 2)
         assert self.rmax % 8 == 0
+        assert self.tex_rows % 8 == 0 and self.tex_cols % 128 == 0
 
     @property
     def nrec(self) -> int:
@@ -118,21 +126,37 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
-    # The march window is placed on a 128-column grid by rounding the block
-    # centre, so placement can be off-centre by up to 64 columns each way: cw
-    # must cover the needed span PLUS that 128-column slack, or some blocks
-    # silently lose left-side candidates (measured: uneven per-block flip
-    # rates at 1080p/d10 with cw=256). Needed half-span = half the block's own
-    # extent in cells + the fold/anchor spread (measured -78..+42 cols p99.9
-    # at n=1025, ~ grid_n/13) + margin.
+    # The march window anchors on an 8-column grid (sublane alignment of the
+    # transposed curve), so cw only needs the span itself: half the block's
+    # own extent in cells + the fold/anchor spread (measured -78..+42 cols
+    # p99.9 at n=1025, ~ grid_n/13) + margin. Record fetches use a separate
+    # 128-aligned table window with its own +128 slack (gather_rec).
     cells_per_block = int(128 * grid_n / max(width, 1))
     half_need = cells_per_block // 2 + grid_n // 13 + 12
     cw = overrides.pop(
         "cw",
-        max(128, min(_ceil_to(2 * half_need + 128, 128),
+        max(128, min(_ceil_to(2 * half_need + 8, 128),
                      _ceil_to(grid_n, 128))),
     )
     return ScanConfig(rmax=rmax, cw=cw, **overrides)
+
+
+# ---------------------------------------------------------------------------
+# Texture packing (XLA, once per texture)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("rpad", "cpad"))
+def _pack_texture(texture_f32, rpad: int, cpad: int):
+    """(Ht, Wt, 4) float -> (RPAD, CPAD) uint32 packed RGBA8 (LSB = red).
+
+    Texels quantise to 8 bits before filtering, exactly like
+    common.sample_texture_bilinear (GL filters the uploaded RGBA8 texels).
+    """
+    t8 = jnp.clip(jnp.round(texture_f32), 0.0, 255.0).astype(jnp.uint32)
+    p = t8[..., 0] | (t8[..., 1] << 8) | (t8[..., 2] << 16) | (t8[..., 3] << 24)
+    return jnp.pad(p, ((0, rpad - p.shape[0]), (0, cpad - p.shape[1])),
+                   mode="edge")
 
 
 # ---------------------------------------------------------------------------
@@ -212,15 +236,17 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     ke = jnp.maximum(ke, kb)
     overflow_rows = jnp.sum(jnp.maximum((r_hi + 1 - w0) - ke_cap, 0))
 
-    # March anchors per 128-pixel block from the mean projected column x.
+    # March anchors per 128-pixel block from the mean projected column x,
+    # in 8-column units (the transposed curve slices on the sublane grid;
+    # the fetch-table window adds its own 128-aligned slack in the kernel).
     col_x = sx.mean(axis=0)  # (n_c,)
     nblocks = -(-width // 128)
     qx_c = jnp.arange(nblocks, dtype=jnp.float32) * 128.0 + 64.0
     c0 = _monotone_interp(qx_c, col_x, jnp.arange(n_c, dtype=jnp.float32))
     canch = jnp.clip(
-        jnp.round((c0 - config.cw / 2.0) / 128.0).astype(jnp.int32),
+        jnp.round((c0 - config.cw / 2.0) / 8.0).astype(jnp.int32),
         0,
-        max((CL - config.cw) // 128, 0),
+        max((CL - config.cw - 128) // 8, 0),
     )
 
     return (win, (w0 // 8).astype(jnp.int32), kb.astype(jnp.int32),
@@ -238,13 +264,13 @@ _prep_scan = jax.jit(
 
 
 def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
-                 *refs, config: ScanConfig, width: int, height: int,
-                 n_r: int, n_c: int, cl: int, wl: int,
-                 debug_records: bool = False, phases: str = "all"):
+                 tex_hbm, *refs, config: ScanConfig, width: int, height: int,
+                 n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
+                 mode: str, debug_records: bool = False, phases: str = "all"):
     if debug_records:
-        out_ref, dbg_ref, win_ref, rec_ref, curve_ref, sem = refs
+        out_ref, dbg_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
     else:
-        out_ref, win_ref, rec_ref, curve_ref, sem = refs
+        out_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
     """One grid step per 8-pixel-row band: DMA the hull row window, solve the
     column crossings into self-contained records, then march + exact-test each
     128-pixel block.
@@ -253,14 +279,15 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
     (nbr, nrec, 8, CL) records; ``curve_ref`` (nbr, 2, CL, 8) sublane-major
     sxc/zc curves for the march.
     """
-    i = pl.program_id(0)
+    t = pl.program_id(0)  # frame within the group
+    i = pl.program_id(1)  # pixel-row band
     SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
-    w0 = w0_ref[i] * 8  # passed in 8-row units: provably tile-aligned offset
-    kb = kb_ref[i]
-    ke = ke_ref[i]
+    w0 = w0_ref[t, i] * 8  # in 8-row units: provably tile-aligned offset
+    kb = kb_ref[t, i]
+    ke = ke_ref[t, i]
 
     copy = pltpu.make_async_copy(
-        win_hbm.at[:, pl.ds(w0, config.rmax), :], win_ref, sem
+        win_hbm.at[t, :, pl.ds(w0, config.rmax), :], win_ref, sem.at[0]
     )
     copy.start()
     copy.wait()
@@ -390,41 +417,47 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
         curve_ref[s, 1] = jnp.transpose(rec_ref[s, 1], (1, 0))
     if debug_records:
         for p in range(config.nrec):
-            dbg_ref[0, 0, p] = rec_ref[0, p]
+            dbg_ref[0, 0, 0, p] = rec_ref[0, p]
 
     # ---------------- Phase M+E: march, fetch, exact tests ----------------
     # minv rows 2, 3 — element reads (only scalars can load from SMEM)
-    m2r = [fconst_ref[k] for k in range(4)]
-    m3r = [fconst_ref[4 + k] for k in range(4)]
+    m2r = [fconst_ref[t, k] for k in range(4)]
+    m3r = [fconst_ref[t, 4 + k] for k in range(4)]
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (CW, 128), 0).astype(jnp.float32)
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
-    nsub = CW // 128
     inv_ncm1 = 1.0 / jnp.float32(max(n_c - 1, 1))
     inv_nrm1 = 1.0 / jnp.float32(max(n_r - 1, 1))
     w0f = w0.astype(jnp.float32)
 
-    def gather_rec(s, plane, canch, idx):
-        """rec[s, plane, y, canch*128 + idx] as (8, 128) — mod-128 subtables."""
+    CWF = CW + 128  # fetch-table window: march window + 128-alignment slack
+
+    def gather_rec(s, plane, canch_f, idx):
+        """rec[s, plane, y, canch_f*128 + idx] as (8, 128) — mod-128
+        subtables over the 128-aligned fetch window."""
         parts = []
-        for t in range(nsub):
+        for tt in range(CWF // 128):
             tab = rec_ref[
-                s, plane, :, pl.ds(pl.multiple_of((canch + t) * 128, 128), 128)
+                s, plane, :,
+                pl.ds(pl.multiple_of((canch_f + tt) * 128, 128), 128),
             ]
             parts.append(tab)
-        idc = jnp.clip(idx, 0, CW - 1)
+        idc = jnp.clip(idx, 0, CWF - 1)
         sub = jnp.clip(idc, 0, 127)
         g = jnp.take_along_axis(parts[0], sub, axis=1)
-        for t in range(1, nsub):
-            subt = jnp.clip(idc - t * 128, 0, 127)
+        for tt in range(1, CWF // 128):
+            subt = jnp.clip(idc - tt * 128, 0, 127)
             g = jnp.where(
-                idc >= t * 128, jnp.take_along_axis(parts[t], subt, axis=1), g
+                idc >= tt * 128,
+                jnp.take_along_axis(parts[tt], subt, axis=1), g
             )
         return g
 
     def march_block(blk, _):
-        canch = canch_ref[blk]
+        canch_m = canch_ref[t, blk] * 8        # march anchor, 8-col aligned
+        canch_f = canch_m // 128               # fetch-table anchor (128-aligned)
+        off_f = canch_m - canch_f * 128        # march col -> fetch-window col
         qx = (blk * 128).astype(jnp.float32) + lane_f + 0.5  # (8, 128)
-        cgf = canch.astype(jnp.float32) * 128.0
+        cgf = canch_m.astype(jnp.float32)
 
         best = (
             jnp.full((8, 128), _FAR, jnp.float32),   # z
@@ -432,12 +465,13 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
             jnp.zeros((8, 128), jnp.float32),        # u/w
             jnp.zeros((8, 128), jnp.float32),        # v/w
             jnp.zeros((8, 128), jnp.float32),        # 1/w
+            jnp.zeros((8, 128), jnp.float32),        # min-lambda (wireframe)
         )
 
         for s in range(NBR):
             # -- march: dense (CW x 128) outer sign test, top-`hyps` by zc --
-            sxc_t = curve_ref[s, 0, pl.ds(pl.multiple_of(canch * 128, 128), CW), :]
-            zc_t = curve_ref[s, 1, pl.ds(pl.multiple_of(canch * 128, 128), CW), :]
+            sxc_t = curve_ref[s, 0, pl.ds(canch_m, CW), :]
+            zc_t = curve_ref[s, 1, pl.ds(canch_m, CW), :]
             hyp_idx = []
             for y in range(8):
                 c = sxc_t[:, y : y + 1]          # (CW, 1)
@@ -470,14 +504,14 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
 
             for h in range(config.hyps):
                 jf = jnp.clip(hyps_i[h], 0.0, jnp.float32(CW - 1))
-                j_i = jf.astype(jnp.int32)
+                j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
                 best = _exact_record(
-                    best, s, j_i, canch, cgf, qx, qy_col, gather_rec,
-                    m3r, config, width, height, w0f, inv_ncm1, inv_nrm1,
-                    n_r, n_c,
+                    best, s, j_i, canch_f, cgf - off_f.astype(jnp.float32),
+                    qx, qy_col, gather_rec, m3r, config, width, height, w0f,
+                    inv_ncm1, inv_nrm1, n_r, n_c,
                 )
 
-        bz, bid, uw, vw, iw = best
+        bz, bid, uw, vw, iw, bml = best
         cov = bz < _FAR
         den = jnp.where(jnp.abs(iw) > 1e-30, iw, 1.0)
         u = jnp.where(cov, uw / den, 0.0)
@@ -489,19 +523,144 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
         zm = jnp.where(cov, num / den, 0.0)
 
         xsl = pl.ds(blk * 128, 128)
-        out_ref[0, 0, :, xsl] = u
-        out_ref[0, 1, :, xsl] = v
-        out_ref[0, 2, :, xsl] = zm
-        out_ref[0, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
-        out_ref[0, 4, :, xsl] = bz
-        for ch in range(5, 8):
-            out_ref[0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
+        if mode == "attrs":
+            out_ref[0, 0, 0, :, xsl] = u
+            out_ref[0, 0, 1, :, xsl] = v
+            out_ref[0, 0, 2, :, xsl] = zm
+            out_ref[0, 0, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
+            out_ref[0, 0, 4, :, xsl] = bz
+            out_ref[0, 0, 5, :, xsl] = bml
+            for ch in range(6, 8):
+                out_ref[0, 0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
+            return 0
+
+        # ---------------- in-kernel shade (texture gather + bilerp) --------
+        # Replaces the XLA quad-packed take (measured ~12.6 ms/frame: TPU
+        # gathers cost ~6 ns per lookup in XLA). Per block: DMA the texture
+        # window covering the block's (measured-small) uv footprint, then an
+        # aligned 8-row loop with lane-dim subtable gathers. Pixels whose
+        # footprint exceeds the window clamp to its edge (rare fold outliers).
+        if mode == "wireframe":
+            covw = cov & (bml <= common.WIREFRAME_EDGE_THRESHOLD)
+        else:
+            covw = cov
+        TR, TXW = config.tex_rows, config.tex_cols
+        tx = jnp.clip(u * wt - 0.5, 0.0, wt - 1.0)
+        ty = jnp.clip((1.0 - v) * ht - 0.5, 0.0, ht - 1.0)
+        ix = jnp.floor(tx)
+        iy = jnp.floor(ty)
+        fx = tx - ix
+        fy = ty - iy
+        ixi = ix.astype(jnp.int32)
+        iyi = iy.astype(jnp.int32)
+        big = jnp.int32(1 << 20)
+        iy_sel = jnp.where(covw, iyi, big)
+        ty_min = jnp.min(iy_sel)
+        tyb = jnp.clip(ty_min // 8, 0, max(_ceil_to(ht, 8) // 8 - TR // 8, 0))
+        ix_sel = jnp.where(covw, ixi, big)
+        tx_min = jnp.min(ix_sel)
+        wtp = tex_hbm.shape[1]
+        txb = jnp.clip(tx_min // 128, 0, max(wtp // 128 - TXW // 128, 0))
+
+        tcopy = pltpu.make_async_copy(
+            tex_hbm.at[pl.ds(tyb * 8, TR), pl.ds(txb * 128, TXW)],
+            texw_ref, sem.at[1],
+        )
+        tcopy.start()
+        tcopy.wait()
+
+        # window-local indices (clamped; the +1 taps clamp to the texture edge
+        # exactly like common.sample_texture_bilinear's quad duplication)
+        wt_hi = jnp.minimum(jnp.int32(TXW - 1), wt - 1 - txb * 128)
+        ixl = jnp.clip(ixi - txb * 128, 0, wt_hi)
+        ixl1 = jnp.minimum(ixl + 1, wt_hi)
+        ht_hi = jnp.minimum(jnp.int32(TR - 1), ht - 1 - tyb * 8)
+        iyl = jnp.clip(iyi - tyb * 8, 0, ht_hi)
+        iyl1 = jnp.minimum(iyl + 1, ht_hi)
+
+        rlo = jnp.clip(jnp.min(jnp.where(covw, iyl, big)) // 8, 0, TR // 8)
+        rhi = jnp.clip(
+            (jnp.max(jnp.where(covw, iyl1, -1)) + 8) // 8, rlo, TR // 8
+        )
+
+        zero = jnp.zeros((8, 128), jnp.int32)
+        nsub_t = TXW // 128
+
+        def tex_row_body(rb, taps):
+            c00, c01, c10, c11 = taps
+            tb = pltpu.bitcast(
+                texw_ref[pl.ds(rb * 8, 8), :], jnp.int32
+            )  # (8, TXW)
+
+            for j in range(8):
+                row = tb[j : j + 1, :]  # (1, TXW)
+                r_glob = rb * 8 + j
+
+                def lane_gather(idxv):
+                    sub = jnp.broadcast_to(row[:, 0:128], (8, 128))
+                    g = jnp.take_along_axis(
+                        sub, jnp.clip(idxv, 0, 127), axis=1
+                    )
+                    for tt in range(1, nsub_t):
+                        subt = jnp.broadcast_to(
+                            row[:, tt * 128 : (tt + 1) * 128], (8, 128)
+                        )
+                        g = jnp.where(
+                            idxv >= tt * 128,
+                            jnp.take_along_axis(
+                                subt, jnp.clip(idxv - tt * 128, 0, 127), axis=1
+                            ),
+                            g,
+                        )
+                    return g
+
+                g0 = lane_gather(ixl)
+                g1 = lane_gather(ixl1)
+                top = iyl == r_glob
+                bot = iyl1 == r_glob
+                c00 = jnp.where(top, g0, c00)
+                c01 = jnp.where(top, g1, c01)
+                c10 = jnp.where(bot, g0, c10)
+                c11 = jnp.where(bot, g1, c11)
+            return c00, c01, c10, c11
+
+        c00, c01, c10, c11 = jax.lax.fori_loop(
+            rlo, rhi, tex_row_body, (zero, zero, zero, zero)
+        )
+
+        def ch(x, s):
+            return ((x >> s) & 0xFF).astype(jnp.float32)
+
+        out_chans = []
+        for s_ in (0, 8, 16, 24):
+            topv = ch(c00, s_) + (ch(c01, s_) - ch(c00, s_)) * fx
+            botv = ch(c10, s_) + (ch(c11, s_) - ch(c10, s_)) * fx
+            out_chans.append(topv + (botv - topv) * fy)
+        r_, g_, b_, a_ = out_chans
+        if mode == "debug_z":
+            grey = jnp.clip(zm, 0.0, 1.0) * 255.0
+            r_, g_, b_ = grey, grey, grey
+        # background: black, alpha 255 (reference clear colour)
+        r_ = jnp.where(covw, r_, 0.0)
+        g_ = jnp.where(covw, g_, 0.0)
+        b_ = jnp.where(covw, b_, 0.0)
+        a_ = jnp.where(covw, a_, 255.0)
+
+        def q8(x):
+            return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.int32)
+
+        packed = (
+            q8(r_) | (q8(g_) << 8) | (q8(b_) << 16) | (q8(a_) << 24)
+        )
+        out_ref[0, :, xsl] = pltpu.bitcast(packed, jnp.uint32)
         return 0
 
     if phases == "all":
         jax.lax.fori_loop(0, wl // 128, march_block, 0)
-    else:  # solve-only profiling variant: skip the march, blank the output
-        out_ref[...] = jnp.zeros((1, 8, 8, wl), jnp.float32)
+    elif mode == "attrs":  # solve-only profiling variant: blank the output
+        out_ref[...] = jnp.zeros((1, 1, 8, 8, wl), jnp.float32)
+    else:
+        out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)
 
 
 def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
@@ -568,7 +727,7 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
     valid_rec = bw1 > jnp.float32(_NOBASE + 1.0)
     col_ok = valid_rec & (cg <= jnp.float32(n_c - 2))
 
-    bz, bid, buw, bvw, biw = best
+    bz, bid, buw, bvw, biw, bml = best
     qy = qy_col * jnp.ones_like(qx)
 
     for k in range(SR - 1):
@@ -616,66 +775,91 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
             uw = l0 * (au * aiw) + l1 * (bu * biw_) + l2 * (cu * ciw)
             vw = l0 * (av * aiw) + l1 * (bv * biw_) + l2 * (cv * ciw)
             iw = l0 * aiw + l1 * biw_ + l2 * ciw
+            minl = jnp.minimum(l0, jnp.minimum(l1, l2))
             bz = jnp.where(better, zz, bz)
             bid = jnp.where(better, tid, bid)
             buw = jnp.where(better, uw, buw)
             bvw = jnp.where(better, vw, bvw)
             biw = jnp.where(better, iw, biw)
+            bml = jnp.where(better, minl, bml)
 
-    return bz, bid, buw, bvw, biw
+    return bz, bid, buw, bvw, biw, bml
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "n_r", "n_c", "config",
-                              "interpret", "debug_records", "phases")
+    jax.jit, static_argnames=("tex_hw", "width", "height", "n_r", "n_c",
+                              "config", "mode", "interpret", "debug_records",
+                              "phases")
 )
-def _raster_scan_pallas(win, minv_rows, w0, kb, ke, canch, width, height,
-                        n_r, n_c, config: ScanConfig, interpret: bool = False,
+def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, kb, ke, canch,
+                        width, height, n_r, n_c, config: ScanConfig,
+                        mode: str = "attrs", interpret: bool = False,
                         debug_records: bool = False, phases: str = "all"):
-    """Run the fused scan kernel -> (nbands, 8, 8, WL) f32 [u, v, zm, cov, z].
+    """Run the fused scan kernel over a FRAME GROUP.
+
+    Inputs carry a leading frame axis T (``win`` (T, 3, RPAD, CL), scalars
+    (T, nbands)/(T, nblocks)/(T, 8)); the kernel grid is (T, nbands) so a
+    whole group is one dispatch (per-frame dispatches measurably lose
+    ~18 ms/frame to host overhead through the remote-TPU tunnel). Returns
+    (T, nbands, 8, 8, WL) f32 [u, v, zm, cov, z].
 
     With ``debug_records`` also returns slot 0's full record planes,
-    (nbands, 1, nrec, 8, CL) — forensic hook for validating the compiled
+    (T, nbands, 1, nrec, 8, CL) — forensic hook for validating the compiled
     solve against a host-side replica."""
-    cl = win.shape[2]
+    T = win.shape[0]
+    cl = win.shape[3]
     wl = _ceil_to(width, 128)
     nbands = -(-height // 8)
+    ht, wt = tex_hw
 
-    out_specs = pl.BlockSpec(
-        (1, 8, 8, wl), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM,
-    )
-    out_shape = jax.ShapeDtypeStruct((nbands, 8, 8, wl), jnp.float32)
+    if mode == "attrs":
+        out_specs = pl.BlockSpec(
+            (1, 1, 8, 8, wl), lambda t, i, *_: (t, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((T, nbands, 8, 8, wl), jnp.float32)
+    else:
+        # Full-image row layout: band i writes image rows [8i, 8i+8), so the
+        # host-side assembly is a pure bitcast (no relayout copy).
+        out_specs = pl.BlockSpec(
+            (1, 8, wl), lambda t, i, *_: (t, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.uint32)
     if debug_records:
         out_specs = (out_specs, pl.BlockSpec(
-            (1, 1, config.nrec, 8, cl), lambda i, *_: (i, 0, 0, 0, 0),
+            (1, 1, 1, config.nrec, 8, cl),
+            lambda t, i, *_: (t, i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ))
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (nbands, 1, config.nrec, 8, cl), jnp.float32))
+            (T, nbands, 1, config.nrec, 8, cl), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(nbands,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        grid=(T, nbands),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((3, config.rmax, cl), jnp.float32),
             pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32),
             pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((config.tex_rows, config.tex_cols), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _scan_kernel, config=config, width=width, height=height,
-        n_r=n_r, n_c=n_c, cl=cl, wl=wl, debug_records=debug_records,
-        phases=phases,
+        n_r=n_r, n_c=n_c, cl=cl, wl=wl, ht=ht, wt=wt, mode=mode,
+        debug_records=debug_records, phases=phases,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(w0, kb, ke, canch, minv_rows, win)
+    )(w0, kb, ke, canch, minv_rows, win, texq)
 
 
 # ---------------------------------------------------------------------------
@@ -684,16 +868,37 @@ def _raster_scan_pallas(win, minv_rows, w0, kb, ke, canch, width, height,
 
 
 def _shade_scan_impl(bands, texture_f32, width, height, mode: str):
+    """(nbands, 8ch, 8, WL) -> (H, W, 4) uint8 via common.shade."""
     nbands = bands.shape[0]
     full = bands.transpose(0, 2, 1, 3).reshape(nbands * 8, 8, -1)
     full = full[:height, :, :width]
     u, v, zm, covf = full[:, 0], full[:, 1], full[:, 2], full[:, 3] > 0.5
-    return common.shade(covf, u, v, zm, texture_f32, mode)
+    return common.shade(covf, u, v, zm, texture_f32, mode,
+                        min_lam=full[:, 5])
 
 
-_shade_scan = jax.jit(
-    _shade_scan_impl, static_argnames=("width", "height", "mode")
+def _shade_scan_batched_impl(bands, texture_f32, width, height, mode: str):
+    return jax.vmap(
+        lambda b: _shade_scan_impl(b, texture_f32, width, height, mode)
+    )(bands)
+
+
+_shade_scan_batched = jax.jit(
+    _shade_scan_batched_impl, static_argnames=("width", "height", "mode")
 )
+
+
+def _shade_scan(bands, texture_f32, width, height, mode):
+    """Single-frame convenience used by the forensic/profiling scripts."""
+    return _shade_scan_batched(bands[None], texture_f32, width, height,
+                               mode)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _assemble_rgba_batched(bands_u32, width, height):
+    """(T, HPAD, WL) uint32 in-kernel-shaded output -> (T, H, W, 4) u8."""
+    u8 = jax.lax.bitcast_convert_type(bands_u32, jnp.uint8)  # (..., 4) LSB=red
+    return u8[:, :height, :width]
 
 
 # ---------------------------------------------------------------------------
@@ -711,39 +916,111 @@ def render_frame_scan(mvp, vertex_grid, uv_grid, texture_f32, width, height,
     render.py:496-497): the kernel reconstructs UVs analytically instead of
     storing them in records.
     """
-    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
-    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
-    del uv_grid  # analytic (asserted by tests against meshgen's output)
-    win, w0, kb, ke, canch, _ = _prep_scan(
-        mvp, vertex_grid, width, height, config
-    )
-    # rows 2 and 3 of the inverse MVP, in f64 on the host (TPU jit would
-    # silently degrade float64 to float32): analytic z_model / inv_w source.
+    return render_frames_scan(
+        jnp.asarray(mvp, jnp.float32)[None], vertex_grid, uv_grid,
+        texture_f32, width, height, config, mode, interpret,
+    )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "config"))
+def _prep_scan_batched(mvps, vertex_grid, width, height, config: ScanConfig):
+    return jax.vmap(
+        lambda m: _prep_scan_impl(m, vertex_grid, width, height, config)
+    )(mvps)
+
+
+# 16-frame groups keep the windows + outputs well under an HBM budget at 4K
+# and amortise the per-dispatch host overhead (measured ~18 ms/frame lost to
+# per-frame dispatches through the remote-TPU tunnel).
+_FRAME_GROUP = 16
+_WIN_HBM_BUDGET = 2 << 30
+
+
+def unpack_raw_frames(raw_np, width, height):
+    """Host-side view of the kernel's raw packed-RGBA output.
+
+    (T, HPAD, WL) uint32 -> (T, H, W, 4) uint8, zero-copy up to the crop (a
+    device-side uint8 conversion costs a measured ~4.7 ms/frame of TPU
+    relayout; a numpy view is free).
+    """
     import numpy as _np
 
-    minv = _np.linalg.inv(_np.asarray(mvp, _np.float64))
-    minv_rows = jnp.asarray(
-        _np.concatenate([minv[2], minv[3]]).astype(_np.float32)
-    )
-    bands = _raster_scan_pallas(
-        win, minv_rows, w0, kb, ke, canch, width, height, n_r, n_c, config,
-        interpret,
-    )
-    return _shade_scan(bands, texture_f32, width, height, mode)
+    raw_np = _np.asarray(raw_np)
+    u8 = raw_np.view(_np.uint8).reshape(raw_np.shape[0], raw_np.shape[1],
+                                        raw_np.shape[2], 4)
+    return u8[:, :height, :width]
 
 
 def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
                        config: ScanConfig = ScanConfig(),
-                       mode: str = "texture", interpret: bool = False):
+                       mode: str = "texture", interpret: bool = False,
+                       frame_batch: int = _FRAME_GROUP,
+                       raw_u32: bool = False):
     """Batched frames via the scan path -> (T, H, W, 4) uint8.
 
-    Per-frame dispatches (prep / kernel / shade are separately jitted and
-    pipeline asynchronously, raster_pallas.py's composition note applies).
+    Frames render in groups: one vmapped prep dispatch, ONE kernel launch over
+    the (frame, band) grid, one vmapped shade. ``mvps`` is padded to a group
+    multiple so only one kernel shape ever compiles.
+
+    With ``raw_u32`` the in-kernel-shaded output is returned as the kernel's
+    native (T, HPAD, WL) uint32 device array (see ``unpack_raw_frames``) —
+    the pipelined consumers (render_clip, bench) use this to skip the
+    device-side uint8 relayout.
     """
+    del uv_grid  # analytic (pinned by tests against meshgen's output)
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
     mvps = jnp.asarray(mvps, jnp.float32)
-    frames = [
-        render_frame_scan(mvps[t], vertex_grid, uv_grid, texture_f32, width,
-                          height, config, mode, interpret)
-        for t in range(mvps.shape[0])
-    ]
-    return jnp.stack(frames, axis=0)
+    T = mvps.shape[0]
+
+    import numpy as _np
+
+    # Per-frame win tensor: (3, RPAD, CL) f32.
+    rpad = max(_ceil_to(n_r, 8), config.rmax)
+    win_bytes = 3 * rpad * _ceil_to(n_c, 128) * 4
+    fb = max(1, min(frame_batch, _WIN_HBM_BUDGET // max(win_bytes, 1), T))
+    pad = (-T) % fb
+    if pad:
+        mvps = jnp.concatenate([mvps, jnp.repeat(mvps[-1:], pad, axis=0)])
+
+    # rows 2/3 of each inverse MVP in f64 on the host (TPU jit silently
+    # degrades float64): the analytic z_model / inv_w source.
+    mvps_np = _np.asarray(mvps, _np.float64)
+    minv = _np.linalg.inv(mvps_np)
+    minv_rows = jnp.asarray(
+        _np.concatenate([minv[:, 2], minv[:, 3]], axis=1).astype(_np.float32)
+    )  # (T+pad, 8)
+
+    # Packed-RGBA texture for the in-kernel sampler (one dispatch, reused by
+    # every group in this call).
+    texture_f32 = jnp.asarray(texture_f32, jnp.float32)
+    ht, wt = int(texture_f32.shape[0]), int(texture_f32.shape[1])
+    rpad_t = max(_ceil_to(ht, 8), config.tex_rows)
+    cpad_t = max(_ceil_to(wt, 128), config.tex_cols)
+    in_kernel = mode in ("texture", "debug_z", "wireframe") \
+        and texture_f32.ndim == 3 and texture_f32.shape[-1] == 4
+    if in_kernel:
+        texq = _pack_texture(texture_f32, rpad_t, cpad_t)
+    else:
+        texq = jnp.zeros((rpad_t, cpad_t), jnp.uint32)
+
+    frames = []
+    for s in range(0, T + pad, fb):
+        win, w0, kb, ke, canch, _ = _prep_scan_batched(
+            mvps[s:s + fb], vertex_grid, width, height, config
+        )
+        bands = _raster_scan_pallas(
+            win, texq, (ht, wt), minv_rows[s:s + fb], w0, kb, ke, canch,
+            width, height, n_r, n_c, config,
+            mode if in_kernel else "attrs", interpret,
+        )
+        if in_kernel and raw_u32:
+            frames.append(bands)
+        elif in_kernel:
+            frames.append(_assemble_rgba_batched(bands, width, height))
+        else:
+            frames.append(
+                _shade_scan_batched(bands, texture_f32, width, height, mode)
+            )
+    out = jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
+    return out[:T]

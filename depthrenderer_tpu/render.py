@@ -229,16 +229,13 @@ class MeshRenderer:
     def toggle_wireframe(self):
         """Toggle wireframe rendering (the reference's key-3 GL_LINE toggle,
         ``render.py:853-859`` — whose logic was inverted; this one is not).
-        Wireframe is only implemented by the soup rasteriser, so the toggle also
-        switches the implementation; it is a debug aid, not a fast path."""
+        Every rasteriser implements it (the winner's min-barycentric gates
+        coverage), so the toggle is usable at production density."""
         if self.mode == "wireframe":
             self.mode = self._pre_wireframe_mode
-            self.impl = self._pre_wireframe_impl
         else:
             self._pre_wireframe_mode = self.mode
-            self._pre_wireframe_impl = self.impl
             self.mode = "wireframe"
-            self.impl = "soup"
 
 
 def render_clip(mesh: Mesh, projection, view_batch, width, height,
@@ -327,14 +324,20 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
 
         def frames_fn(mvps_c, vg, uvg, tex, w, h, _cfg, mode_, frame_batch):
             return raster_scan.render_frames_scan(
-                mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_
+                mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_, raw_u32=True
             )
+
+        def post_frames(host):
+            return raster_scan.unpack_raw_frames(host, width, height)
     elif impl == "pallas":
         from .ops import raster_pallas
 
         frames_fn = raster_pallas.render_frames_pallas
     else:
         frames_fn = raster_grid.render_frames_grid
+    if impl != "scan":
+        def post_frames(host):  # noqa: F811 - identity for u8-frame impls
+            return host
 
     for start in range(0, total, frame_batch):
         stop = min(start + frame_batch, total)
@@ -345,13 +348,13 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
         pending.append((start, dev))
         if len(pending) > 1:
             s, d = pending.pop(0)
-            host = np.asarray(d)
+            host = post_frames(np.asarray(d))
             if on_frames is not None:
                 on_frames(s, host)
             else:
                 collected.append(host)
     for s, d in pending:
-        host = np.asarray(d)
+        host = post_frames(np.asarray(d))
         if on_frames is not None:
             on_frames(s, host)
         else:

@@ -45,11 +45,12 @@ win, w0, kb, ke, canch, ovf = (np.asarray(a) for a in raster_scan._prep_scan(
 
 minv = np.linalg.inv(np.asarray(mvp, np.float64))
 minv_rows = jnp.asarray(np.concatenate([minv[2], minv[3]]).astype(np.float32))
+texq = jnp.zeros((scfg.tex_rows, scfg.tex_cols), jnp.uint32)
 _, dbg = raster_scan._raster_scan_pallas(
-    jnp.asarray(win), minv_rows, jnp.asarray(w0), jnp.asarray(kb),
-    jnp.asarray(ke), jnp.asarray(canch), W, H, n, n, scfg,
-    debug_records=True)
-dbg = np.asarray(dbg)  # (nbands, nbr, 3, 8, CL)
+    jnp.asarray(win)[None], texq, (1, 1), minv_rows[None], jnp.asarray(w0)[None],
+    jnp.asarray(kb)[None], jnp.asarray(ke)[None], jnp.asarray(canch)[None],
+    W, H, n, n, scfg, debug_records=True)
+dbg = np.asarray(dbg)[0]  # (1?, nbr/1, nrec, 8, CL)
 print("records:", dbg.shape)
 
 SR, OFF, NBR = scfg.sr, scfg.off, scfg.nbr

@@ -46,11 +46,13 @@ win, w0, kb, ke, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
     jnp.asarray(mvp), vgrid, W, H, scfg))
 minv = np.linalg.inv(np.asarray(mvp, np.float64))
 minv_rows = np.concatenate([minv[2], minv[3]]).astype(np.float32)
+texq = jnp.zeros((scfg.tex_rows, scfg.tex_cols), jnp.uint32)
 out, dbg = raster_scan._raster_scan_pallas(
-    jnp.asarray(win), jnp.asarray(minv_rows), jnp.asarray(w0), jnp.asarray(kb),
-    jnp.asarray(ke), jnp.asarray(canch), W, H, n, n, scfg, debug_records=True)
-out = np.asarray(out)      # (nbands, 8ch, 8, WL)
-dbg = np.asarray(dbg)      # (nbands, 1, nrec, 8, CL)
+    jnp.asarray(win)[None], texq, (1, 1), jnp.asarray(minv_rows)[None],
+    jnp.asarray(w0)[None], jnp.asarray(kb)[None], jnp.asarray(ke)[None],
+    jnp.asarray(canch)[None], W, H, n, n, scfg, debug_records=True)
+out = np.asarray(out)[0]   # (nbands, 8ch, 8, WL)
+dbg = np.asarray(dbg)[0]   # (nbands, 1, nrec, 8, CL)
 
 i = BAND
 rec = dbg[i, 0]            # (nrec, 8, CL)

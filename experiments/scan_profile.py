@@ -63,22 +63,43 @@ def timeit(name, fn):
     return dt, out
 
 
+T = int(os.environ.get("T", "1"))
+mvps = jnp.broadcast_to(mvp[None], (T, 4, 4))
+minv_b = jnp.broadcast_to(minv_rows[None], (T, 8))
+ht, wt = int(texture.shape[0]), int(texture.shape[1])
+rpt = max(-(-ht // 8) * 8, scfg.tex_rows)
+cpt = max(-(-wt // 128) * 128, scfg.tex_cols)
+texq = raster_scan._pack_texture(texture, rpt, cpt)
 t_prep, prep = timeit(
-    "prep (XLA)", lambda: raster_scan._prep_scan(mvp, vgrid, W, H, scfg))
+    "prep (XLA)",
+    lambda: raster_scan._prep_scan_batched(mvps, vgrid, W, H, scfg))
 win, w0, kb, ke, canch, _ = prep
 
 t_solve, _ = timeit(
     "kernel solve-only",
     lambda: raster_scan._raster_scan_pallas(
-        win, minv_rows, w0, kb, ke, canch, W, H, n, n, scfg, phases="solve"))
-t_all, bands = timeit(
-    "kernel all",
+        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        phases="solve"))
+t_attrs, bands = timeit(
+    "kernel attrs (no shade)",
     lambda: raster_scan._raster_scan_pallas(
-        win, minv_rows, w0, kb, ke, canch, W, H, n, n, scfg))
+        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg))
+t_all, rgba = timeit(
+    "kernel + in-kernel shade",
+    lambda: raster_scan._raster_scan_pallas(
+        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        mode="texture"))
 t_shade, _ = timeit(
-    "shade (XLA)",
-    lambda: raster_scan._shade_scan(bands, texture, W, H, "texture"))
+    "XLA shade (legacy)",
+    lambda: raster_scan._shade_scan_batched(bands, texture, W, H, "texture"))
+t_asm, _ = timeit(
+    "rgba assembly (XLA)",
+    lambda: raster_scan._assemble_rgba_batched(rgba, W, H))
+t_prep, t_solve, t_attrs, t_all, t_shade, t_asm = (
+    x / T for x in (t_prep, t_solve, t_attrs, t_all, t_shade, t_asm))
+print(f"(per frame at group T={T})")
 
-print(f"{'march+exact (delta)':>24}: {t_all - t_solve:8.2f} ms")
-total = t_prep + t_all + t_shade
+print(f"{'march+exact (delta)':>24}: {t_attrs - t_solve:8.2f} ms")
+print(f"{'in-kernel shade (delta)':>24}: {t_all - t_attrs:8.2f} ms")
+total = t_prep + t_all + t_asm
 print(f"{'total / fps':>24}: {total:8.2f} ms -> {1000.0 / total:.1f} frames/s")

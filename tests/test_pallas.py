@@ -134,3 +134,20 @@ def test_pallas_dual_window_lossless(checker_texture):
             mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2), tex, W, H, cfg))
     want = np.asarray(raster_soup.rasterize_soup(verts, uvs, idx, mvp, tex, W, H))
     assert_images_close(got, want, min_psnr=55.0, max_diff_frac=0.01)
+
+
+def test_pallas_wireframe(checker_texture):
+    from depthrenderer_tpu.ops import raster_reference
+
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=8)
+    W, H = 64, 48
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H, mode="wireframe"
+    )
+    a, b = _render_both(verts, uvs, mvp.astype(np.float32),
+                        checker_texture.astype(np.float32), W, H, CFG,
+                        mode="wireframe")
+    # grid and pallas agree with each other and with the oracle's edge bands
+    assert_images_close(b, a, min_psnr=30.0, max_diff_frac=0.03)
+    agree = ((b[..., :3].sum(-1) > 0) == (np.asarray(want)[..., :3].sum(-1) > 0)).mean()
+    assert agree > 0.95

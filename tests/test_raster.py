@@ -360,3 +360,29 @@ def test_binning_overflow_diagnostic(checker_texture):
                         patch_size=2, map_batch=4)
     assert int(np.asarray(binning_overflow_tiles(
         mvp[None], verts, uvgrid, W, H, tiny)).max()) > 0
+
+
+def test_grid_wireframe_matches_oracle(checker_texture):
+    # Production-path wireframe (winner min-barycentric gate) vs the oracle's
+    # (reference key-3 GL_LINE toggle semantics, un-inverted).
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32))
+    W, H = 64, 48
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H, mode="wireframe"
+    )
+    n = int(np.sqrt(len(verts)))
+    got = np.asarray(raster_grid.render_frame_grid(
+        mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+        checker_texture.astype(np.float32), W, H,
+        suggest_config(n, W, H), mode="wireframe",
+    ))
+    # Edge bands are thin: allow a slightly larger flip budget than solid mode.
+    assert_images_close(got, want, min_psnr=30.0, max_diff_frac=0.03)
+    # Wireframe must cover strictly less than solid shading.
+    solid = np.asarray(raster_grid.render_frame_grid(
+        mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+        checker_texture.astype(np.float32), W, H, suggest_config(n, W, H),
+    ))
+    cov_wf = (got[..., :3].sum(-1) > 0).mean()
+    cov_solid = (solid[..., :3].sum(-1) > 0).mean()
+    assert 0.0 < cov_wf < cov_solid

@@ -124,3 +124,23 @@ def test_scan_prep_overflow_diagnostic(checker_texture):
         jnp.asarray(mvp, jnp.float32), verts.reshape(n, n, 3), 96, 72, cfg
     )
     assert int(out[-1]) > 0
+
+
+def test_scan_wireframe(checker_texture):
+    # In-kernel wireframe: coverage restricted to pixels near triangle edges.
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=7)
+    W, H = 64, 48
+    solid = _render_scan(verts, uvs, mvp.astype(np.float32),
+                         checker_texture.astype(np.float32), W, H, CFG)
+    wf = _render_scan(verts, uvs, mvp.astype(np.float32),
+                      checker_texture.astype(np.float32), W, H, CFG,
+                      mode="wireframe")
+    cov_wf = (wf[..., :3].sum(-1) > 0).mean()
+    cov_solid = (solid[..., :3].sum(-1) > 0).mean()
+    assert 0.0 < cov_wf < cov_solid
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H, mode="wireframe"
+    )
+    # Same edge-band semantics as the oracle (tolerant: bands are thin).
+    agree = ((wf[..., :3].sum(-1) > 0) == (np.asarray(want)[..., :3].sum(-1) > 0)).mean()
+    assert agree > 0.95

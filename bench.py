@@ -135,7 +135,14 @@ def main():
         # (~8x the tiled kernel at 1080p/d10). It shares the tiled default's
         # candidate compromise class at depth edges (see ROADMAP.md round-2
         # results); the tiled paths remain the reference-quality options.
-        impl = "scan" if dev.platform == "tpu" else "xla"
+        # Edge-cull configs (BASELINE #4) use the tiled kernel: the scan path
+        # does not implement culling yet.
+        if dev.platform != "tpu":
+            impl = "xla"
+        elif args.edge_cull is not None:
+            impl = "pallas"
+        else:
+            impl = "scan"
         log(f"impl: {impl} (auto)")
     if impl == "scan":
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
@@ -194,6 +201,32 @@ def main():
                 "ground-truth gate is tests/test_gl_groundtruth.py.")
         elif cross < 40.0:
             log("WARNING: cross-implementation PSNR below the 40 dB gate!")
+
+    if args.preset == 1 and os.path.exists(
+            "tests/goldens/gl_sample_d8_frontal.png"):
+        # BASELINE quality criterion at config #1: >= 40 dB masked PSNR vs the
+        # REAL OpenGL render (tools/gl_groundtruth.c golden).
+        from PIL import Image
+
+        from depthrenderer_tpu.evaluate import masked_psnr
+        from depthrenderer_tpu import io as dio2
+
+        golden = np.asarray(Image.open("tests/goldens/gl_sample_d8_frontal.png"))
+        if impl == "scan":
+            from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
+
+            f0 = unpack_raw_frames(np.asarray(frames[:1]), args.width,
+                                   args.height)[0]
+        else:
+            f0 = np.asarray(frames[0])
+        if f0.shape == golden.shape:
+            dep = dio2.resize(
+                dio2.load_depth("/root/reference/samples/00000_depth.png"),
+                golden.shape[:2])
+            log(f"vs OpenGL ground truth: overall "
+                f"{masked_psnr(f0, golden):.2f} dB, away-from-depth-edges "
+                f"{masked_psnr(f0, golden, depth=dep):.2f} dB "
+                f"(BASELINE gate: >= 40)")
 
     if args.psnr_check:
         from depthrenderer_tpu.ops.raster_soup import rasterize_soup

@@ -137,9 +137,11 @@ def main():
         # results); the tiled paths remain the reference-quality options.
         # Edge-cull configs (BASELINE #4) use the tiled kernel: the scan path
         # does not implement culling yet.
+        from depthrenderer_tpu.ops.raster_scan import scan_supported
+
         if dev.platform != "tpu":
             impl = "xla"
-        elif args.edge_cull is not None:
+        elif args.edge_cull is not None or not scan_supported(2**args.density + 1):
             impl = "pallas"
         else:
             impl = "scan"

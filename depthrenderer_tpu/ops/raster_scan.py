@@ -113,6 +113,21 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def scan_supported(grid_n: int, config: ScanConfig | None = None) -> bool:
+    """Whether the scan kernel's VMEM budget fits this grid.
+
+    The per-band window scratch is 3 * rmax * ceil(grid_n, 128) * 4 bytes; at
+    density 12 (n=4097) that alone exceeds VMEM, and the depth-hull row span
+    also outgrows any affordable rmax. Callers should fall back to the tiled
+    path beyond this (render_clip does).
+    """
+    cfg = config if config is not None else suggest_scan_config(grid_n, 1920,
+                                                                1080)
+    win_bytes = 3 * cfg.rmax * _ceil_to(grid_n, 128) * 4
+    rec_bytes = cfg.nbr * cfg.nrec * 8 * _ceil_to(grid_n, 128) * 4
+    return win_bytes + rec_bytes < 9 * 2**20
+
+
 def suggest_scan_config(grid_n: int, width: int, height: int,
                         **overrides) -> ScanConfig:
     """Heuristic scan config for an ``grid_n``-vertex grid at the given output.

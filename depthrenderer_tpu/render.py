@@ -264,6 +264,13 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
         log("NOTICE: the scan rasteriser does not implement edge culling yet; "
             "falling back to the tiled path for this clip.")
         impl = _auto_impl()
+    if impl == "scan":
+        from .ops import raster_scan as _rs
+
+        if not _rs.scan_supported(n):
+            log(f"NOTICE: grid n={n} exceeds the scan kernel's VMEM window "
+                f"budget; falling back to the tiled path for this clip.")
+            impl = _auto_impl()
     if impl == "scan" or config is not None:
         cfg = config
     else:

@@ -108,7 +108,7 @@ def test_mesh_renderer_soup_fallback(checker_texture):
     assert not (frame == bg).all()
 
 
-def test_wireframe_toggle_switches_impl(checker_texture):
+def test_wireframe_toggle_keeps_impl(checker_texture):
     rng = np.random.default_rng(0)
     mesh = Mesh.from_texture(Texture(checker_texture),
                              rng.integers(0, 256, (16, 16), dtype=np.uint8),
@@ -121,8 +121,11 @@ def test_wireframe_toggle_switches_impl(checker_texture):
     r.mesh = mesh
     r.draw()
     filled = r.get_frame().copy()
+    impl_before = r.impl
     r.toggle_wireframe()
-    assert r.mode == "wireframe" and r.impl == "soup"
+    # Wireframe is implemented by every rasteriser now (winner min-barycentric
+    # gate) — the toggle changes only the mode, never the implementation.
+    assert r.mode == "wireframe" and r.impl == impl_before
     r.draw()
     wire = r.get_frame().copy()
     bg = np.array([0, 0, 0, 255], np.uint8)

@@ -82,7 +82,7 @@ def grid_mesh(depth_map, density: int):
     vg = jnp.broadcast_to(v_tex[:, None], (n, n))
     uvs = jnp.stack([ug, vg], axis=-1).reshape(-1, 2)
 
-    indices = grid_indices(density)
+    indices = _grid_indices_traced(density)
 
     return vertices, uvs, indices
 
@@ -112,6 +112,24 @@ def grid_indices(density: int):
     Computed with numpy (static for a given density) and cached.
     """
     return _grid_indices_np(density)
+
+
+def _grid_indices_traced(density: int):
+    """In-trace (iota-built) twin of :func:`grid_indices`.
+
+    Identical integer values, but constructed inside the jit so the index
+    array is computed on device instead of embedded as an HLO constant — at
+    density 12 the constant form is ~400 MB and overflows the remote-compile
+    request (HTTP 413)."""
+    n = grid_vertex_count(density)
+    m = n - 1
+    i = jnp.arange(m, dtype=jnp.uint32)
+    j = jnp.arange(m, dtype=jnp.uint32)
+    a = i[:, None] * jnp.uint32(n) + j[None, :]
+    b = a + jnp.uint32(n)
+    c = a + jnp.uint32(1)
+    d = b + jnp.uint32(1)
+    return jnp.stack([a, b, c, c, b, d], axis=-1).reshape(-1)
 
 
 def _grid_indices_np(density: int) -> np.ndarray:

@@ -110,3 +110,15 @@ def test_displacement_factor_mutation(checker_texture):
     before = mesh.vertices[:, 2].copy()
     mesh.vertices[:, 2] *= 4.0
     np.testing.assert_allclose(mesh.vertices[:, 2], before * 4.0)
+
+
+def test_traced_indices_match_numpy():
+    # The jitted path builds indices from iotas on-device (a trace-time numpy
+    # constant was ~400 MB of HLO at density 12); values must be identical.
+    from depthrenderer_tpu.meshgen import _grid_indices_traced, grid_indices
+
+    for d in (0, 1, 3, 5):
+        got = np.asarray(_grid_indices_traced(d))
+        want = grid_indices(d)
+        assert got.dtype == want.dtype == np.uint32
+        assert (got == want).all()

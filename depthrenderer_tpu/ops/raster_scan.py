@@ -375,6 +375,9 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
                     sxc_s = jnp.where(fire, sxc_new, sxc_s)
                     zc_s = jnp.where(fire, zc_new, zc_s)
                     bw_s = jnp.where(fire, kf, bw_s)
+                    if phases == "solve_nocap":  # profiling: skip strip capture
+                        new_slots.append((sxc_s, zc_s, bw_s, strips))
+                        continue
                     new_strips = []
                     for sj in range(SR):
                         row_vals = []
@@ -517,6 +520,10 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
                 for h in range(config.hyps)
             ]  # each (8, 128) f32 window-local col
 
+            if phases == "march_only":  # profiling: skip fetch+exact
+                bz0 = best[0]
+                best = (jnp.minimum(bz0, hyps_i[0]),) + best[1:]
+                continue
             for h in range(config.hyps):
                 jf = jnp.clip(hyps_i[h], 0.0, jnp.float32(CW - 1))
                 j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
@@ -670,9 +677,9 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
         out_ref[0, :, xsl] = pltpu.bitcast(packed, jnp.uint32)
         return 0
 
-    if phases == "all":
+    if phases in ("all", "march_only"):
         jax.lax.fori_loop(0, wl // 128, march_block, 0)
-    elif mode == "attrs":  # solve-only profiling variant: blank the output
+    elif mode == "attrs":  # solve-only profiling variants: blank the output
         out_ref[...] = jnp.zeros((1, 1, 8, 8, wl), jnp.float32)
     else:
         out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)

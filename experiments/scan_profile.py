@@ -75,11 +75,21 @@ t_prep, prep = timeit(
     lambda: raster_scan._prep_scan_batched(mvps, vgrid, W, H, scfg))
 win, w0, kb, ke, canch, _ = prep
 
+t_nocap, _ = timeit(
+    "kernel solve-nocapture",
+    lambda: raster_scan._raster_scan_pallas(
+        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        phases="solve_nocap"))
 t_solve, _ = timeit(
     "kernel solve-only",
     lambda: raster_scan._raster_scan_pallas(
         win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
         phases="solve"))
+t_march, _ = timeit(
+    "kernel march-only",
+    lambda: raster_scan._raster_scan_pallas(
+        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        phases="march_only"))
 t_attrs, bands = timeit(
     "kernel attrs (no shade)",
     lambda: raster_scan._raster_scan_pallas(
@@ -95,11 +105,14 @@ t_shade, _ = timeit(
 t_asm, _ = timeit(
     "rgba assembly (XLA)",
     lambda: raster_scan._assemble_rgba_batched(rgba, W, H))
-t_prep, t_solve, t_attrs, t_all, t_shade, t_asm = (
-    x / T for x in (t_prep, t_solve, t_attrs, t_all, t_shade, t_asm))
+(t_prep, t_nocap, t_solve, t_march, t_attrs, t_all, t_shade, t_asm) = (
+    x / T for x in (t_prep, t_nocap, t_solve, t_march, t_attrs, t_all,
+                    t_shade, t_asm))
 print(f"(per frame at group T={T})")
 
-print(f"{'march+exact (delta)':>24}: {t_attrs - t_solve:8.2f} ms")
+print(f"{'strip capture (delta)':>24}: {t_solve - t_nocap:8.2f} ms")
+print(f"{'march alone (delta)':>24}: {t_march - t_solve:8.2f} ms")
+print(f"{'fetch+exact (delta)':>24}: {t_attrs - t_march:8.2f} ms")
 print(f"{'in-kernel shade (delta)':>24}: {t_all - t_attrs:8.2f} ms")
 total = t_prep + t_all + t_asm
 print(f"{'total / fps':>24}: {total:8.2f} ms -> {1000.0 / total:.1f} frames/s")

@@ -69,6 +69,7 @@ def main():
             args.edge_cull = 0.25
 
     import jax
+    import jax.numpy as jnp
 
     # Persistent compilation cache: repeat bench runs skip the multi-minute
     # remote compiles.
@@ -214,13 +215,17 @@ def main():
         from depthrenderer_tpu import io as dio2
 
         golden = np.asarray(Image.open("tests/goldens/gl_sample_d8_frontal.png"))
+        # The golden is the FRONTAL view; the bench clip starts mid-sway
+        # (sway(0) carries a +0.15 y translation), so render one identity-view
+        # frame for the comparison.
+        frontal = render(jnp.asarray((proj @ cam)[None], jnp.float32))
         if impl == "scan":
             from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
 
-            f0 = unpack_raw_frames(np.asarray(frames[:1]), args.width,
+            f0 = unpack_raw_frames(np.asarray(frontal[:1]), args.width,
                                    args.height)[0]
         else:
-            f0 = np.asarray(frames[0])
+            f0 = np.asarray(frontal[0])
         if f0.shape == golden.shape:
             dep = dio2.resize(
                 dio2.load_depth("/root/reference/samples/00000_depth.png"),

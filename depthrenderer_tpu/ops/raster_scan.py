@@ -447,7 +447,11 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
     inv_nrm1 = 1.0 / jnp.float32(max(n_r - 1, 1))
     w0f = w0.astype(jnp.float32)
 
-    CWF = CW + 128  # fetch-table window: march window + 128-alignment slack
+    # Fetch-table window: march window + 128-alignment slack, capped at the
+    # record table's width — an uncapped window's second subtable slice lands
+    # out of bounds when CL < cw + 128 (small grids), and Pallas clamps the
+    # slice start, silently aliasing subtable 1 onto the table's first lanes.
+    CWF = min(CW + 128, cl)
 
     def gather_rec(s, plane, canch_f, idx):
         """rec[s, plane, y, canch_f*128 + idx] as (8, 128) — mod-128

@@ -42,11 +42,18 @@ def main():
     ap.add_argument("--edge-cull", type=float, default=None,
                     help="Depth-discontinuity edge-cull threshold (BASELINE "
                          "config #4 uses one).")
-    ap.add_argument("--preset", type=int, choices=(1, 2, 3, 4), default=None,
+    ap.add_argument("--preset", type=int, choices=(1, 2, 3, 4, 5), default=None,
                     help="BASELINE.json benchmark config: 1 = samples pair d8 "
                          "single frontal view (CPU-runnable); 2 = 720p d10 "
                          "120-frame sway; 3 = 64-pair batch d9 1080p; 4 = 4K "
-                         "texture d12 with edge culling.")
+                         "texture d12 with edge culling; 5 = scenes x views "
+                         "render farm via shard_map with MP4 export (sized by "
+                         "--farm-scenes/--farm-views; full scale is 256x128 "
+                         "on a v5e-8 slice).")
+    ap.add_argument("--farm-scenes", type=int, default=8,
+                    help="Preset 5: number of scenes (full scale: 256).")
+    ap.add_argument("--farm-views", type=int, default=16,
+                    help="Preset 5: views per scene (full scale: 128).")
     ap.add_argument("--impl", choices=("auto", "pallas", "xla", "scan"),
                     default="auto",
                     help="Rasteriser implementation: auto = the tiled Pallas "
@@ -87,6 +94,8 @@ def main():
 
     if args.preset == 3:
         return bench_batch(args, dev)
+    if args.preset == 5:
+        return bench_farm(args, dev)
 
     # Scene: the reference sample pair, texture upscaled to the output resolution.
     colour = dio.load_colour("/root/reference/samples/00000_colors.png")
@@ -133,16 +142,15 @@ def main():
     impl = args.impl
     if impl == "auto":
         # The scan inverse rasteriser is the production fast path on real TPUs
-        # (~8x the tiled kernel at 1080p/d10). It shares the tiled default's
-        # candidate compromise class at depth edges (see ROADMAP.md round-2
-        # results); the tiled paths remain the reference-quality options.
-        # Edge-cull configs (BASELINE #4) use the tiled kernel: the scan path
-        # does not implement culling yet.
+        # (~8x the tiled kernel at 1080p/d10, with in-kernel edge culling
+        # since round 3). It shares the tiled default's candidate compromise
+        # class at depth edges (see ROADMAP.md round-2 results); the tiled
+        # paths remain the reference-quality options.
         from depthrenderer_tpu.ops.raster_scan import scan_supported
 
         if dev.platform != "tpu":
             impl = "xla"
-        elif args.edge_cull is not None or not scan_supported(2**args.density + 1):
+        elif not scan_supported(2**args.density + 1):
             impl = "pallas"
         else:
             impl = "scan"
@@ -151,11 +159,12 @@ def main():
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
                                                        suggest_scan_config)
 
-        scan_cfg = suggest_scan_config(n, args.width, args.height)
+        scan_cfg = suggest_scan_config(n, args.width, args.height,
+                                       edge_cull_threshold=args.edge_cull)
         log(f"scan config: {scan_cfg}")
         render = lambda m: render_frames_scan(  # noqa: E731
             m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,
-            raw_u32=True,
+            frame_batch=args.frame_batch, raw_u32=True,
         )
     else:
         render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
@@ -197,61 +206,207 @@ def main():
             frame_batch=1))[0]
         cross = psnr(a, b)
         log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB")
-        if cross < 40.0 and impl == "scan":
+        if impl == "scan" and cross < 30.0:
+            # The documented depth-edge winner-flip class floors this
+            # comparison near ~33 dB; anything materially below that is a real
+            # kernel regression, not the known compromise (ADVICE r2).
+            log("WARNING: scan-vs-grid PSNR below the ~33 dB winner-flip "
+                "floor — this indicates a scan-kernel regression!")
+        elif impl == "scan" and cross < 40.0:
             log("NOTE: the scan path's winner-flip class vs the tiled grid "
                 "(stretched depth-edge triangles, ~0.7% of pixels at d10) "
                 "bounds this comparison near ~33 dB; see ROADMAP.md. The "
-                "ground-truth gate is tests/test_gl_groundtruth.py.")
+                "ground-truth gate is the GL-golden check below / "
+                "tests/test_gl_groundtruth.py.")
         elif cross < 40.0:
             log("WARNING: cross-implementation PSNR below the 40 dB gate!")
 
-    if args.preset == 1 and os.path.exists(
-            "tests/goldens/gl_sample_d8_frontal.png"):
-        # BASELINE quality criterion at config #1: >= 40 dB masked PSNR vs the
-        # REAL OpenGL render (tools/gl_groundtruth.c golden).
+    # REAL-OpenGL ground-truth gate (BASELINE: >= 40 dB masked PSNR vs the GL
+    # render). Goldens exist for config #1 (VGA/d8 frontal) AND the production
+    # headline config (1080p/d10, frontal + mid-sway view 40 of this very
+    # 64-frame path) — speed and fidelity ship together in the bench artifact.
+    quality = {}
+
+    def unpack1(dev_frames, k=0):
+        if impl == "scan":
+            from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
+
+            return unpack_raw_frames(np.asarray(dev_frames[k:k + 1]),
+                                     args.width, args.height)[0]
+        return np.asarray(dev_frames[k])
+
+    goldens = []
+    if args.preset == 1:
+        goldens = [("frontal", "tests/goldens/gl_sample_d8_frontal.png")]
+    elif (args.density, args.width, args.height) == (10, 1920, 1080):
+        goldens = [
+            ("frontal", "tests/goldens/gl_sample_d10_1080p_frontal.png"),
+            ("sway40", "tests/goldens/gl_sample_d10_1080p_sway40.png"),
+        ]
+    frontal_dev = None
+    for view, path in goldens:
+        if not os.path.exists(path):
+            continue
         from PIL import Image
 
         from depthrenderer_tpu.evaluate import masked_psnr
         from depthrenderer_tpu import io as dio2
 
-        golden = np.asarray(Image.open("tests/goldens/gl_sample_d8_frontal.png"))
-        # The golden is the FRONTAL view; the bench clip starts mid-sway
-        # (sway(0) carries a +0.15 y translation), so render one identity-view
-        # frame for the comparison.
-        frontal = render(jnp.asarray((proj @ cam)[None], jnp.float32))
-        if impl == "scan":
-            from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
-
-            f0 = unpack_raw_frames(np.asarray(frontal[:1]), args.width,
-                                   args.height)[0]
+        golden = np.asarray(Image.open(path))
+        if view == "frontal":
+            # The bench clip starts mid-sway (sway(0) carries a +0.15 y
+            # translation), so render identity-view frames for this one. Pad
+            # to the frame group so the cached kernel shape is reused.
+            if frontal_dev is None:
+                reps = max(1, min(args.frame_batch, args.frames))
+                frontal_dev = render(jnp.asarray(
+                    np.repeat((proj @ cam)[None], reps, axis=0), jnp.float32))
+            f = unpack1(frontal_dev)
+        elif view == "sway40" and args.frames > 40:
+            f = unpack1(frames, 40)
         else:
-            f0 = np.asarray(frontal[0])
-        if f0.shape == golden.shape:
-            dep = dio2.resize(
-                dio2.load_depth("/root/reference/samples/00000_depth.png"),
-                golden.shape[:2])
-            log(f"vs OpenGL ground truth: overall "
-                f"{masked_psnr(f0, golden):.2f} dB, away-from-depth-edges "
-                f"{masked_psnr(f0, golden, depth=dep):.2f} dB "
-                f"(BASELINE gate: >= 40)")
+            continue
+        if f.shape != golden.shape:
+            continue
+        dep = dio2.resize(
+            dio2.load_depth("/root/reference/samples/00000_depth.png"),
+            golden.shape[:2])
+        away = masked_psnr(f, golden, depth=dep)
+        overall = masked_psnr(f, golden)
+        quality[f"gl_psnr_masked_{view}"] = round(float(away), 2)
+        log(f"vs OpenGL ground truth ({view}): overall {overall:.2f} dB, "
+            f"away-from-depth-edges {away:.2f} dB (BASELINE gate: >= 40)")
+        if away < 40.0:
+            log(f"WARNING: masked PSNR vs the GL golden ({view}) is below "
+                f"the 40 dB BASELINE gate!")
 
     if args.psnr_check:
         from depthrenderer_tpu.ops.raster_soup import rasterize_soup
         from depthrenderer_tpu.utils import psnr
 
         idx = meshgen.grid_indices(args.density)
-        a = np.asarray(frames[0])
+        a = unpack1(frames)  # raw u32 for scan, u8 frames otherwise (ADVICE r2)
         b = np.asarray(
             rasterize_soup(verts, np.asarray(uvs), idx, mvps[0], texture,
                            args.width, args.height)
         )
-        log(f"grid-vs-soup PSNR: {psnr(a, b):.1f} dB")
+        log(f"{impl}-vs-soup PSNR: {psnr(a, b):.1f} dB")
 
     print(json.dumps({
         "metric": f"{args.height}p frames/s/chip @ mesh-density {args.density}",
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 4),
+        "impl": impl,
+        **quality,
+    }))
+
+
+def bench_farm(args, dev):
+    """BASELINE config #5: the scenes x views render farm with MP4 export.
+
+    Full scale is 256 scenes x 128 views on a v5e-8 slice (reference
+    counterpart: ``render_many.py:150-382``, one model at a time through one
+    GL context). Here every device in the mesh owns a contiguous shard of
+    scenes (``render_scenes_sharded``); on this box the mesh is the single
+    real chip, so the default is a scaled-down 8x16 farm — override with
+    --farm-scenes/--farm-views. Frames stream to the in-house AVI muxer and
+    transcode to MP4 when ffmpeg exists (video.convert_to_mp4; absent in this
+    image, so the artifact stays AVI with a notice — the code path is the
+    same). Metric: scene-views/s end-to-end including encode.
+    """
+    import tempfile
+
+    import jax
+
+    from depthrenderer_tpu import animation, io as dio, meshgen, transforms
+    from depthrenderer_tpu import video
+    from depthrenderer_tpu.ops.raster_grid import measured_config
+    from depthrenderer_tpu.parallel import (make_render_mesh,
+                                            render_scenes_sharded)
+    from depthrenderer_tpu.writers import VideoWriter
+
+    S, V = args.farm_scenes, args.farm_views
+    W, H, D = 640, 480, args.density if args.density != 10 else 8
+    n = 2**D + 1
+    colour = dio.load_colour("/root/reference/samples/00000_colors.png")
+    depth = dio.resize(dio.load_depth("/root/reference/samples/00000_depth.png"),
+                       (H, W))
+    texture = dio.resize(colour, (H, W)).astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    base = depth.astype(np.int32)
+    verts0, uvs, _ = meshgen.grid_mesh(depth, D)
+    uvgrid = np.asarray(uvs).reshape(n, n, 2)
+
+    def scene_vgrid():
+        d = np.clip(base + rng.integers(-12, 13, base.shape), 0, 255)
+        v, _, _ = meshgen.grid_mesh(d.astype(np.uint8), D)
+        v = np.asarray(v).reshape(n, n, 3).copy()
+        v[..., 2] *= 4.0
+        return v
+
+    vgrids = np.stack([scene_vgrid() for _ in range(S)])
+    sway = animation.default_sway(5.0)
+    times = animation.frame_times(V, 60.0)
+    views = np.asarray(sway.batch(times))
+    proj = np.asarray(transforms.perspective(18.0, W / H))
+    cam = np.asarray(transforms.translation(dz=-10.0))
+    mvps1 = (proj[None] @ (cam[None] @ views)).astype(np.float32)  # (V, 4, 4)
+    mvps = np.broadcast_to(mvps1, (S, V, 4, 4)).copy()
+
+    config = measured_config(mvps1, vgrids[0], W, H)
+    mesh = make_render_mesh()
+    log(f"farm: {S} scenes x {V} views on a {mesh.devices.size}-device mesh, "
+        f"{W}x{H} d{D}")
+
+    out_dir = tempfile.mkdtemp(prefix="farm_")
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if dev.platform == "tpu" else "grid"
+    if impl == "xla":
+        impl = "grid"
+
+    def run(write):
+        frames = np.asarray(render_scenes_sharded(
+            mesh, mvps, vgrids, np.broadcast_to(uvgrid, (S,) + uvgrid.shape),
+            np.broadcast_to(texture, (S,) + texture.shape), W, H, config,
+            frame_batch=min(4, V), impl=impl,
+        ))  # (S, V, H, W, 4)
+        paths = []
+        if write:
+            for s in range(S):
+                avi = os.path.join(out_dir, f"scene_{s:03d}.avi")
+                w = VideoWriter(avi, size=(W, H), fps=24.0, codec="MJPG")
+                for k in range(V):
+                    w.write(frames[s, k])
+                w.cleanup()
+                mp4 = video.convert_to_mp4(avi, remove_source=False)
+                paths.append(mp4 or avi)
+        return paths
+
+    t0 = time.perf_counter()
+    run(write=False)
+    log(f"compile + first pass: {time.perf_counter() - t0:.1f}s")
+    best = 0.0
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        paths = run(write=True)
+        dt = time.perf_counter() - t0
+        rate = S * V / dt
+        best = max(best, rate)
+        log(f"rep {r}: {rate:.1f} scene-views/s incl. encode ({dt:.2f}s)")
+    kind = ("MP4" if paths and paths[0].endswith(".mp4")
+            else "AVI; ffmpeg unavailable for MP4 transcode")
+    log(f"artifacts: {paths[:2]}{' ...' if len(paths) > 2 else ''} ({kind})")
+
+    print(json.dumps({
+        "metric": f"render-farm scene-views/s ({S}x{V} @ d={D} {H}p, "
+                  f"{mesh.devices.size} device(s))",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 4),
+        "impl": impl,
     }))
 
 
@@ -317,10 +472,21 @@ def bench_batch(args, dev):
                              edge_cull_threshold=args.edge_cull)
     log(f"config: {config}")
 
+    # One-time device residency for every scene, OUTSIDE the timed loop: the
+    # per-scene 12.6 MB vgrid re-uploads measured the 45 MB/s host tunnel, not
+    # the chip (VERDICT r2 weak #6). Production farms hold scene shards
+    # device-resident the same way (parallel/sharding.render_scenes_sharded).
+    t0 = time.perf_counter()
+    vgrids_dev = [jax.device_put(v) for v in vgrids]
+    mvps_dev = jax.device_put(mvps)
+    jax.block_until_ready(vgrids_dev)
+    log(f"scene upload (one-time, untimed): {time.perf_counter() - t0:.1f}s "
+        f"for {S} scenes")
+
     def run_all():
         out = None
         for s in range(S):
-            dev_frames = render_fn(mvps, jax.device_put(vgrids[s]), uvgrid,
+            dev_frames = render_fn(mvps_dev, vgrids_dev[s], uvgrid,
                                    texture, args.width, args.height, config,
                                    frame_batch=VIEWS)
             out = dev_frames  # async dispatch pipelines scenes
@@ -343,6 +509,7 @@ def bench_batch(args, dev):
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 4),
+        "impl": impl,
     }))
 
 

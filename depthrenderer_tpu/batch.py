@@ -82,10 +82,12 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
     p.add_argument("--container", choices=("avi", "mp4"), default="avi",
                    help="Video container: avi (native, no dependencies) or mp4 "
                         "(H.264 via ffmpeg, falls back to avi with a notice).")
-    p.add_argument("--impl", choices=("auto", "grid", "pallas"), default="auto",
-                   help="Rasteriser implementation (auto = Pallas on TPU, XLA "
-                        "grid elsewhere); applies to both the sequential and "
-                        "--sharded paths.")
+    p.add_argument("--impl", choices=("auto", "grid", "pallas", "scan"),
+                   default="auto",
+                   help="Rasteriser implementation (auto = the scan fast path "
+                        "on TPU when supported, else the tiled Pallas kernel; "
+                        "XLA grid elsewhere); applies to both the sequential "
+                        "and --sharded paths.")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
@@ -281,14 +283,14 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
     from .render import _auto_impl
 
-    impl = _auto_impl() if args.impl == "auto" else args.impl
+    n = 2 ** args.mesh_density + 1
+    impl = _auto_impl(n, args.edge_cull) if args.impl == "auto" else args.impl
     device_mesh = make_render_mesh()
     log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s) "
         f"(impl={impl}).")
 
     base_mesh = None
     vgrids, model_names, video_sources, writers, png_tasks = [], [], [], [], []
-    n = 2 ** args.mesh_density + 1
 
     for model_name, depth_path in models:
         model_names.append(model_name)

@@ -88,6 +88,11 @@ def build_parser(prog="python -m depthrenderer_tpu"):
     p.add_argument("--edge-cull", type=float, default=None, dest="edge_cull",
                    help="Cull triangles whose model-z spread exceeds this "
                         "(depth-discontinuity edge culling).")
+    p.add_argument("--impl", choices=("auto", "grid", "pallas", "scan"),
+                   default="auto",
+                   help="Rasteriser implementation (auto = the scan fast path "
+                        "on TPU when supported, else the tiled Pallas kernel; "
+                        "XLA grid elsewhere).")
     p.add_argument("--no-video", action="store_true",
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
@@ -186,7 +191,7 @@ def main(argv=None):
     t0 = time.time()
     render_clip(mesh, camera.projection, views, out_w, out_h,
                 mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames,
-                binning_quantile=args.binning_quantile,
+                impl=args.impl, binning_quantile=args.binning_quantile,
                 edge_cull_threshold=args.edge_cull)
     dt = time.time() - t0
     log(f"Rendered {num_frames} frames in {dt:.2f}s ({num_frames / dt:.1f} frames/s).")

@@ -18,12 +18,14 @@ the reference's OpenGL semantics):
   ``v = 1`` maps to texture row 0 (top) because this framework keeps images top-down
   (the reference flips at load instead — same texels either way).
 * Background = the reference's clear colour: black, alpha 1 (``render.py:634``).
-* **No near-plane clipping** (known limitation, shared by every implementation in
-  this package including the numpy oracle): ``project_vertices`` gives vertices
-  with ``clip_w <= 0`` an ``inv_w`` of 0 / a sign-flipped projection, so
-  triangles crossing the camera plane render incorrectly where GL would clip
-  them. This matters only for extreme camera poses (the reference CLI's camera
-  stays ~10 units from a depth-4 scene); cull such triangles upstream if needed.
+* **Near-plane handling** (round 3): triangles with any corner at
+  ``clip_w <= 0`` are MASKED by the oracle, soup, grid and tiled-Pallas paths
+  (``valid &= inv_w > 0`` at triangle setup). GL instead clips such triangles
+  to the frustum, so the visible difference is confined to primitives
+  STRADDLING the camera plane (documented approximation). The scan kernel
+  assumes ``clip_w > 0`` throughout; ``render_clip`` detects offending views
+  and falls back to the tiled path. This matters only for extreme camera poses
+  (the reference CLI's camera stays ~10 units from a depth-4 scene).
 """
 
 from __future__ import annotations

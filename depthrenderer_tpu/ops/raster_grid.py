@@ -265,6 +265,9 @@ def _tile_planes(vg, wr, wc, config: RasterConfig):
         p[:, 0], p[:, 1], p[:, 2], z[:, 0], z[:, 1], z[:, 2]
     )  # (Tw, 4, 3): λ0, λ1, λ2, z planes.
     valid = area2 > 1e-12
+    # Near-plane: mask triangles with any corner at clip_w <= 0 (sign-flipped
+    # projection; see raster_reference.py for the documented approximation).
+    valid &= (tris[..., _INVW] > 0).all(axis=1)
     if config.edge_cull_threshold is not None:
         zm = tris[..., _ZM]
         valid &= (zm.max(axis=1) - zm.min(axis=1)) <= config.edge_cull_threshold

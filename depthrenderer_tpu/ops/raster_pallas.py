@@ -77,6 +77,10 @@ def _prep_tile_planes(vg_cm, wr, wc, px0, py0, row_floor, height, config: Raster
 
         area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
         valid = area2 > 1e-12
+        # Near-plane: mask triangles with any corner at clip_w <= 0
+        # (sign-flipped projection; see raster_reference.py).
+        w0_, w1_, w2_ = tri(invw)
+        valid &= (w0_ > 0) & (w1_ > 0) & (w2_ > 0)
         if config.edge_cull_threshold is not None:
             m0, m1, m2 = tri(zm)
             spread = jnp.maximum(m0, jnp.maximum(m1, m2)) - jnp.minimum(

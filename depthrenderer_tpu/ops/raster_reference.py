@@ -80,6 +80,12 @@ def rasterize_reference(vertices, uvs, indices, mvp, texture, width, height,
         p2[:, 0] - p0[:, 0]
     )
     valid = area2 > 1e-12  # back-face + degenerate cull (CCW front)
+    # Near-plane handling (round 3): triangles with any corner at clip_w <= 0
+    # project sign-flipped, so mask them entirely. GL instead clips such
+    # triangles to the frustum (render.py:448 fixed-function clipping) —
+    # dropping the whole primitive is the documented approximation; it only
+    # differs for triangles STRADDLING the camera plane.
+    valid &= (w0 > 0) & (w1 > 0) & (w2 > 0)
 
     if edge_cull_threshold is not None:
         zm = vertices[:, 2]

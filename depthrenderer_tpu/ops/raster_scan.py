@@ -78,6 +78,14 @@ class ScanConfig:
     :param hyps: march hypotheses kept per slot (1 = top crossing by depth,
         2 = top two; 2 costs ~2x fetch/exact work for ~+0.3pp winner agreement).
     :param margin: hull margin in grid rows.
+    :param dmax: cap on the neighbour-strip realign delta (None = full
+        +-(sr-1) range). +-5 saves ~0.9 ms/frame at -0.22pp winner agreement
+        (scan_proto3 DMAX sweep).
+    :param edge_cull_threshold: if set, cull cells whose corner model-z spread
+        exceeds this value inside the kernel — the scan-path equivalent of
+        RasterConfig.edge_cull_threshold (depth-discontinuity culling; the
+        reference GL path never culls, SURVEY §7 step 7 adds it for the
+        "rubber sheet" stretch class).
     """
 
     rmax: int = 320
@@ -87,6 +95,8 @@ class ScanConfig:
     nbr: int = 2
     hyps: int = 2
     margin: int = 10
+    dmax: int | None = None
+    edge_cull_threshold: float | None = None
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -101,7 +111,9 @@ class ScanConfig:
         assert 1 <= self.nbr <= 4
         assert self.hyps in (1, 2)
         assert self.rmax % 8 == 0
+        assert self.rmax < 4096  # 12-bit packed per-chunk bounds
         assert self.tex_rows % 8 == 0 and self.tex_cols % 128 == 0
+        assert self.dmax is None or 1 <= self.dmax <= self.sr - 1
 
     @property
     def nrec(self) -> int:
@@ -141,6 +153,13 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
+    # Round-3 production knobs (measured trade-offs, ROADMAP.md): sr=10/off=4
+    # (-0.12pp winner agreement) and the +-5 realign cap (-0.22pp) buy
+    # ~3.5 ms/frame at d10/1080p; quality-gated by the GL-golden/flip-rate
+    # checks (bench.py diagnostics, tests/test_scan.py).
+    overrides.setdefault("sr", 10)
+    overrides.setdefault("off", 4)
+    overrides.setdefault("dmax", 5)
     # The march window anchors on an 8-column grid (sublane alignment of the
     # transposed curve), so cw only needs the span itself: half the block's
     # own extent in cells + the fold/anchor spread (measured -78..+42 cols
@@ -188,14 +207,18 @@ def _monotone_interp(q, xp, fp):
 
 
 def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
-    """Project the grid and derive the kernel's per-band/per-block scalars.
+    """Project the grid and derive the kernel's per-band/per-chunk scalars.
 
-    :return: (win, w0, kb, ke, canch, overflow_rows) where ``win``
-        is the (3, RPAD, CL) channel-major projected grid (sx, sy, z; rows and
-        cols edge-padded), the band scalars are (nbands,)
-        int32 window origins / scan bounds, ``canch`` is (nblocks,) int32 march
-        window anchors in 128-column units, and ``overflow_rows`` counts hull
-        rows clipped by ``rmax`` (0 = the scan saw every candidate row).
+    :return: (win, w0, bounds, canch, overflow_rows) where ``win`` is the
+        (3, RPAD, CL) channel-major projected grid (sx, sy, z; rows and cols
+        edge-padded), ``w0`` is the (nbands,) int32 window origin in 8-row
+        units, ``bounds`` is the (nbands, nchunks) int32 PACKED per-128-column
+        scan range (kb | ke << 12, window-relative; the round-3 solve lever:
+        per-chunk bounds from the chunk's actual projected-sy extrema scan a
+        measured ~0.32x of the global hull span at d10/1080p), ``canch`` is
+        (nblocks,) int32 march window anchors in 8-column units, and
+        ``overflow_rows`` counts hull rows clipped by ``rmax`` (0 = the scan
+        saw every candidate row).
     """
     vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
@@ -208,48 +231,58 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     pad = ((0, RPAD - n_r), (0, CL - n_c))
     win = jnp.stack([jnp.pad(a, pad, mode="edge") for a in (sx, sy, z)])
 
-    # Depth-hull anchors: mean projected row y at z=0 and z=zmax bound the
-    # rows whose crossings can reach a given scanline (scan_proto3.py).
-    zmax = jnp.max(vertex_grid[..., 2])
-    rows_f = jnp.arange(n_r, dtype=jnp.float32)
-    anchors = []
-    for zval in (jnp.zeros(()), zmax):
-        flat = vertex_grid[..., :2].reshape(-1, 2)
-        v = jnp.concatenate(
-            [flat, jnp.broadcast_to(zval, (flat.shape[0], 1))], axis=1
-        )
-        _, sy_a, _, _ = common.project_vertices(v, mvp, width, height)
-        anchors.append(sy_a.reshape(n_r, n_c).mean(axis=1))  # (n_r,)
-
     nbands = -(-height // 8)
+    nchunks = CL // 128
     band = jnp.arange(nbands, dtype=jnp.float32)
-    qy_top = height - (band * 8.0 + 0.5)
+    qy_top = height - (band * 8.0 + 0.5)   # (nbands,)
     qy_bot = height - (band * 8.0 + 7.5)
-    r_lo = jnp.full(nbands, jnp.inf, jnp.float32)
-    r_hi = jnp.full(nbands, -jnp.inf, jnp.float32)
-    for ry in anchors:
-        for qy in (qy_top, qy_bot):
-            r_at = _monotone_interp(qy, ry[::-1], rows_f[::-1])
-            r_lo = jnp.minimum(r_lo, r_at)
-            r_hi = jnp.maximum(r_hi, r_at)
-    r_lo = jnp.floor(r_lo - config.margin).astype(jnp.int32)
-    r_hi = jnp.ceil(r_hi + config.margin).astype(jnp.int32)
-    r_lo = jnp.clip(r_lo, 0, max(n_r - 2, 0))
-    r_hi = jnp.clip(r_hi, 0, max(n_r - 2, 0))
 
-    # Window origin: strip rows reach off below the first crossing row.
-    # Rounded down to a multiple of 8: the kernel's DMA source slice needs a
-    # provably sublane-aligned offset (Mosaic: "tile index ... divisible by
-    # the tiling (8)"), so w0 is passed in 8-row units.
-    w0 = jnp.clip(r_lo - (config.off + 3), 0, max(RPAD - config.rmax, 0))
-    w0 = (w0 // 8) * 8
-    kb = r_lo - w0
+    # Per-chunk row bounds from the chunk's ACTUAL projected sy extrema
+    # (conservative: a row k can cross a band scanline only if the chunk's
+    # max sy[k] reaches the band's bottom and its min sy[k+1] is at or above
+    # the band's top — verified to cover every candidate crossing row on the
+    # bench path, experiments/hull_stats.py).
+    syp = jnp.pad(sy, ((0, 0), (0, CL - n_c)), mode="edge")
+    cmin = syp.reshape(n_r, nchunks, 128).min(axis=2)  # (n_r, nchunks)
+    cmax = syp.reshape(n_r, nchunks, 128).max(axis=2)
+    ks = jnp.arange(max(n_r - 1, 1), dtype=jnp.int32)
+    c_lo = cmin[1:, :] if n_r > 1 else cmin
+    c_hi = cmax[:-1, :] if n_r > 1 else cmax
+    big = jnp.int32(1 << 20)
+    k0 = jnp.min(
+        jnp.where(c_lo[None] <= qy_top[:, None, None], ks[None, :, None], big),
+        axis=1,
+    )  # (nbands, nchunks)
+    k1 = jnp.max(
+        jnp.where(c_hi[None] >= qy_bot[:, None, None], ks[None, :, None], -1),
+        axis=1,
+    )
+    empty = k0 > k1
+    r_lo = jnp.clip(k0 - config.margin, 0, max(n_r - 2, 0))
+    r_hi = jnp.clip(k1 + config.margin, 0, max(n_r - 2, 0))
+
+    # Band window origin: min over chunks; strip rows reach off below the
+    # first crossing row. Rounded down to a multiple of 8: the kernel's DMA
+    # source slice needs a provably sublane-aligned offset (Mosaic: "tile
+    # index ... divisible by the tiling (8)"), so w0 is passed in 8-row units.
+    r_lo_band = jnp.min(jnp.where(empty, big, r_lo), axis=1)
+    r_lo_band = jnp.where(r_lo_band >= big, 0, r_lo_band)
+    w0 = jnp.clip(r_lo_band - (config.off + 3), 0, max(RPAD - config.rmax, 0))
+    w0 = (w0 // 8) * 8  # (nbands,)
+
     # Scan rows k in [kb, ke): needs row k+1; capture tail needs sr-off-1 more.
     tail = config.sr - config.off
     ke_cap = config.rmax - tail - 1
-    ke = jnp.minimum(r_hi + 1 - w0, jnp.minimum(n_r - 1 - w0, ke_cap))
+    kb = jnp.clip(r_lo - w0[:, None], 0, ke_cap)
+    ke = jnp.minimum(r_hi + 1 - w0[:, None],
+                     jnp.minimum(n_r - 1 - w0[:, None], ke_cap))
     ke = jnp.maximum(ke, kb)
-    overflow_rows = jnp.sum(jnp.maximum((r_hi + 1 - w0) - ke_cap, 0))
+    kb = jnp.where(empty, 0, kb)
+    ke = jnp.where(empty, 0, ke)
+    overflow_rows = jnp.sum(
+        jnp.where(empty, 0, jnp.maximum((r_hi + 1 - w0[:, None]) - ke_cap, 0))
+    )
+    bounds = (kb | (ke << 12)).astype(jnp.int32)  # (nbands, nchunks) packed
 
     # March anchors per 128-pixel block from the mean projected column x,
     # in 8-column units (the transposed curve slices on the sublane grid;
@@ -264,8 +297,7 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
         max((CL - config.cw - 128) // 8, 0),
     )
 
-    return (win, (w0 // 8).astype(jnp.int32), kb.astype(jnp.int32),
-            ke.astype(jnp.int32), canch, overflow_rows)
+    return (win, (w0 // 8).astype(jnp.int32), bounds, canch, overflow_rows)
 
 
 _prep_scan = jax.jit(
@@ -278,7 +310,7 @@ _prep_scan = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
+def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                  tex_hbm, *refs, config: ScanConfig, width: int, height: int,
                  n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
                  mode: str, debug_records: bool = False, phases: str = "all"):
@@ -290,6 +322,10 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
     column crossings into self-contained records, then march + exact-test each
     128-pixel block.
 
+    ``bounds_ref`` packs the PER-CHUNK scan range (kb | ke << 12,
+    window-relative): each 128-column chunk scans only its own candidate rows
+    (~0.32x of the band hull span at d10/1080p, experiments/hull_stats.py).
+
     Scratch: ``win_ref`` (3, rmax, CL) projected rows; ``rec_ref``
     (nbr, nrec, 8, CL) records; ``curve_ref`` (nbr, 2, CL, 8) sublane-major
     sxc/zc curves for the march.
@@ -298,8 +334,6 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
     i = pl.program_id(1)  # pixel-row band
     SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
     w0 = w0_ref[t, i] * 8  # in 8-row units: provably tile-aligned offset
-    kb = kb_ref[t, i]
-    ke = ke_ref[t, i]
 
     copy = pltpu.make_async_copy(
         win_hbm.at[t, :, pl.ds(w0, config.rmax), :], win_ref, sem.at[0]
@@ -332,6 +366,10 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
         )
 
     def solve_chunk(chunk, _):
+        bnd = bounds_ref[t, i, chunk]
+        kb = bnd & 0xFFF          # per-chunk scan bounds, window-relative
+        ke = (bnd >> 12) & 0xFFF
+
         def init_slot():
             zero = jnp.zeros((8, 128), jnp.float32)
             return (
@@ -490,52 +528,88 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
             jnp.zeros((8, 128), jnp.float32),        # min-lambda (wireframe)
         )
 
+        def march_one(o_idx):
+            """Exact-test the records picked by an (8, 128) march hypothesis."""
+            jf = jnp.clip(o_idx, 0.0, jnp.float32(CW - 1))
+            j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
+            return lambda best_in, s: _exact_record(
+                best_in, s, j_i, canch_f, cgf - off_f.astype(jnp.float32),
+                qx, qy_col, gather_rec, m2r, m3r, config, width, height, w0f,
+                inv_ncm1, inv_nrm1, n_r, n_c,
+            )
+
         for s in range(NBR):
             # -- march: dense (CW x 128) outer sign test, top-`hyps` by zc --
             sxc_t = curve_ref[s, 0, pl.ds(canch_m, CW), :]
             zc_t = curve_ref[s, 1, pl.ds(canch_m, CW), :]
-            hyp_idx = []
-            for y in range(8):
-                c = sxc_t[:, y : y + 1]          # (CW, 1)
-                zz = zc_t[:, y : y + 1]
-                f = c - (qx[y : y + 1, :])       # (CW, 128) row y's qx ramp
-                f2 = pltpu.roll(f, CW - 1, 0)
-                hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
-                key = jnp.where(hit, zz, _FAR)
-                m1 = jnp.min(key, axis=0, keepdims=True)
-                o1 = jnp.min(
-                    jnp.where(key == m1, iota_cw, jnp.float32(CW)),
-                    axis=0,
-                    keepdims=True,
-                )
-                ys = [o1]
-                if config.hyps == 2:
-                    key2 = jnp.where(iota_cw == o1, _FAR, key)
-                    m2 = jnp.min(key2, axis=0, keepdims=True)
-                    o2 = jnp.min(
-                        jnp.where(key2 == m2, iota_cw, jnp.float32(CW)),
+            # Block-level slot gate (round 3): a slot with NO record in the
+            # march window (slot 1 away from folds — the common case) used to
+            # run the full march + fetch + exact pipeline against FAR records;
+            # one scalar reduce skips all of it.
+            any_rec = jnp.min(zc_t) < jnp.float32(_FAR * 0.5)
+
+            def slot_body(best_in, s=s, sxc_t=sxc_t, zc_t=zc_t):
+                hyp1 = []
+                counts = []
+                for y in range(8):
+                    c = sxc_t[:, y : y + 1]          # (CW, 1)
+                    zz = zc_t[:, y : y + 1]
+                    f = c - (qx[y : y + 1, :])       # (CW, 128) row y's qx ramp
+                    f2 = pltpu.roll(f, CW - 1, 0)
+                    hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
+                    key = jnp.where(hit, zz, _FAR)
+                    m1 = jnp.min(key, axis=0, keepdims=True)
+                    o1 = jnp.min(
+                        jnp.where(key == m1, iota_cw, jnp.float32(CW)),
                         axis=0,
                         keepdims=True,
                     )
-                    ys.append(o2)
-                hyp_idx.append(ys)
-            hyps_i = [
-                jnp.concatenate([hyp_idx[y][h] for y in range(8)], axis=0)
-                for h in range(config.hyps)
-            ]  # each (8, 128) f32 window-local col
+                    hyp1.append(o1)
+                    if config.hyps == 2:
+                        counts.append(jnp.sum(
+                            jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True))
+                h1 = jnp.concatenate(hyp1, axis=0)   # (8, 128)
+                if phases == "march_only":  # profiling: skip fetch+exact
+                    return (jnp.minimum(best_in[0], h1),) + best_in[1:]
+                best_out = march_one(h1)(best_in, s)
+                if config.hyps == 2:
+                    # Second-hypothesis gate: o2 differs from o1 only where a
+                    # (y, pixel) has 2+ bracket columns — fold sheets. Blocks
+                    # without any (the vast majority) skip the second fetch +
+                    # exact pass entirely; fold blocks recompute the march
+                    # terms (cheap relative to the pass they gate).
+                    multi = jnp.max(jnp.concatenate(counts, axis=0)) > 1.5
 
-            if phases == "march_only":  # profiling: skip fetch+exact
-                bz0 = best[0]
-                best = (jnp.minimum(bz0, hyps_i[0]),) + best[1:]
-                continue
-            for h in range(config.hyps):
-                jf = jnp.clip(hyps_i[h], 0.0, jnp.float32(CW - 1))
-                j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
-                best = _exact_record(
-                    best, s, j_i, canch_f, cgf - off_f.astype(jnp.float32),
-                    qx, qy_col, gather_rec, m3r, config, width, height, w0f,
-                    inv_ncm1, inv_nrm1, n_r, n_c,
-                )
+                    def hyp2_body(b, s=s, sxc_t=sxc_t, zc_t=zc_t):
+                        hyp2 = []
+                        for y in range(8):
+                            c = sxc_t[:, y : y + 1]
+                            zz = zc_t[:, y : y + 1]
+                            f = c - (qx[y : y + 1, :])
+                            f2 = pltpu.roll(f, CW - 1, 0)
+                            hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
+                            key = jnp.where(hit, zz, _FAR)
+                            m1 = jnp.min(key, axis=0, keepdims=True)
+                            o1 = jnp.min(
+                                jnp.where(key == m1, iota_cw, jnp.float32(CW)),
+                                axis=0, keepdims=True,
+                            )
+                            key2 = jnp.where(iota_cw == o1, _FAR, key)
+                            m2 = jnp.min(key2, axis=0, keepdims=True)
+                            o2 = jnp.min(
+                                jnp.where(key2 == m2, iota_cw, jnp.float32(CW)),
+                                axis=0, keepdims=True,
+                            )
+                            hyp2.append(o2)
+                        h2 = jnp.concatenate(hyp2, axis=0)
+                        return march_one(h2)(b, s)
+
+                    best_out = jax.lax.cond(
+                        multi, hyp2_body, lambda b: b, best_out
+                    )
+                return best_out
+
+            best = jax.lax.cond(any_rec, slot_body, lambda b: b, best)
 
         bz, bid, uw, vw, iw, bml = best
         cov = bz < _FAR
@@ -689,7 +763,7 @@ def _scan_kernel(w0_ref, kb_ref, ke_ref, canch_ref, fconst_ref, win_hbm,
         out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)
 
 
-def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
+def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m2r, m3r,
                   config: ScanConfig, width, height, w0f, inv_ncm1, inv_nrm1,
                   n_r, n_c):
     """Fetch record s@j and its right neighbour, realign, run the exact
@@ -711,17 +785,19 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
     ]
 
     # realign the neighbour strip: aligned2[k] = strip2[k - d], d = bw2 - bw1.
-    # The full delta range matters: capping |d| at 3 measurably loses fold
-    # cells (scan_proto3 DMAX sweep: 99.03% -> 99.47% winner agreement).
+    # The delta range matters: capping |d| at 3 measurably loses fold cells
+    # (scan_proto3 DMAX sweep: 99.03% -> 99.47% winner agreement); the
+    # production config caps at dmax=5 (-0.22pp for ~0.9 ms/frame).
+    dmax = SR - 1 if config.dmax is None else min(config.dmax, SR - 1)
     d = bw2 - bw1
     nanv = jnp.float32(jnp.nan)
     deltas = {
-        delta: d == jnp.float32(delta) for delta in range(-(SR - 1), SR)
+        delta: d == jnp.float32(delta) for delta in range(-dmax, dmax + 1)
     }
     aligned2 = []
     for k in range(SR):
         acc = (nanv * jnp.ones_like(bw1),) * 3
-        for delta in range(-(SR - 1), SR):
+        for delta in range(-dmax, dmax + 1):
             kk = k - delta
             if 0 <= kk < SR:
                 m = deltas[delta]
@@ -745,6 +821,26 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
 
     iw1 = [invw_of(strip1[k]) for k in range(SR)]
     iw2 = [invw_of(aligned2[k]) for k in range(SR)]
+
+    # In-kernel edge culling (BASELINE config #4 semantics): per-corner model
+    # z via rows 2/3 of the inverse MVP — the same reconstruction the shade
+    # phase uses — culling cells whose corner depth spread exceeds the
+    # threshold, exactly like RasterConfig.edge_cull_threshold
+    # (raster_grid.py:268-270). Costs ~4 divides/cell only when enabled.
+    if config.edge_cull_threshold is not None:
+        def zm_of(corner, iw):
+            csx, csy, cz = corner
+            num = (
+                m2r[0] * (csx * sxw - 1.0)
+                + m2r[1] * (csy * syw - 1.0)
+                + m2r[2] * cz
+                + m2r[3]
+            )
+            den = jnp.where(jnp.abs(iw) > 1e-30, iw, 1.0)
+            return num / den
+
+        zm1 = [zm_of(strip1[k], iw1[k]) for k in range(SR)]
+        zm2 = [zm_of(aligned2[k], iw2[k]) for k in range(SR)]
 
     cg = cgf + j1.astype(jnp.float32)          # global record col (8,128)
     u0 = cg * inv_ncm1
@@ -780,6 +876,15 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
 
             area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             ok = cell_ok & (area2 > 1e-12)
+            if config.edge_cull_threshold is not None:
+                if diag == 0:
+                    zms = (zm1[k], zm1[k + 1], zm2[k])
+                else:
+                    zms = (zm2[k], zm1[k + 1], zm2[k + 1])
+                spread = jnp.maximum(
+                    jnp.maximum(zms[0], zms[1]), zms[2]
+                ) - jnp.minimum(jnp.minimum(zms[0], zms[1]), zms[2])
+                ok = ok & (spread <= jnp.float32(config.edge_cull_threshold))
             inv_a = jnp.where(ok, 1.0 / jnp.where(ok, area2, 1.0), 0.0)
             e0 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
             e1 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
@@ -817,7 +922,7 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m3r,
                               "config", "mode", "interpret", "debug_records",
                               "phases")
 )
-def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, kb, ke, canch,
+def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
                         width, height, n_r, n_c, config: ScanConfig,
                         mode: str = "attrs", interpret: bool = False,
                         debug_records: bool = False, phases: str = "all"):
@@ -862,7 +967,7 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, kb, ke, canch,
             (T, nbands, 1, config.nrec, 8, cl), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(T, nbands),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -885,7 +990,7 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, kb, ke, canch,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(w0, kb, ke, canch, minv_rows, win, texq)
+    )(w0, bounds, canch, minv_rows, win, texq)
 
 
 # ---------------------------------------------------------------------------
@@ -962,6 +1067,34 @@ _FRAME_GROUP = 16
 _WIN_HBM_BUDGET = 2 << 30
 
 
+def _check_uv_grid(uv_grid):
+    """Validate the analytic-UV assumption (u = col/(n_c-1), v = 1 - row/(n_r-1)).
+
+    The kernel reconstructs UVs analytically instead of storing them in
+    records; a mesh with a non-standard parameterisation would silently render
+    with wrong texturing (ADVICE r2). Checks the four corner UVs — one tiny
+    host transfer per call.
+    """
+    if uv_grid is None:
+        return
+    n_r, n_c = uv_grid.shape[0], uv_grid.shape[1]
+    if n_r < 2 or n_c < 2:
+        return
+    import numpy as _np
+
+    corners = _np.asarray(uv_grid[:: n_r - 1, :: n_c - 1], _np.float32)
+    expect = _np.array(
+        [[[0.0, 1.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 0.0]]], _np.float32
+    )
+    if not _np.allclose(corners, expect, atol=1e-5):
+        raise ValueError(
+            "render_frames_scan requires the standard grid-mesh UV "
+            f"parameterisation (corner UVs {expect.tolist()}, got "
+            f"{corners.tolist()}); use the tiled/grid rasterisers for "
+            "custom UVs."
+        )
+
+
 def unpack_raw_frames(raw_np, width, height):
     """Host-side view of the kernel's raw packed-RGBA output.
 
@@ -993,7 +1126,8 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
     the pipelined consumers (render_clip, bench) use this to skip the
     device-side uint8 relayout.
     """
-    del uv_grid  # analytic (pinned by tests against meshgen's output)
+    _check_uv_grid(uv_grid)
+    del uv_grid  # analytic (validated above; pinned by tests vs meshgen)
     vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
     mvps = jnp.asarray(mvps, jnp.float32)
@@ -1031,12 +1165,14 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
         texq = jnp.zeros((rpad_t, cpad_t), jnp.uint32)
 
     frames = []
+    ovfs = []
     for s in range(0, T + pad, fb):
-        win, w0, kb, ke, canch, _ = _prep_scan_batched(
+        win, w0, bounds, canch, ovf = _prep_scan_batched(
             mvps[s:s + fb], vertex_grid, width, height, config
         )
+        ovfs.append(ovf)
         bands = _raster_scan_pallas(
-            win, texq, (ht, wt), minv_rows[s:s + fb], w0, kb, ke, canch,
+            win, texq, (ht, wt), minv_rows[s:s + fb], w0, bounds, canch,
             width, height, n_r, n_c, config,
             mode if in_kernel else "attrs", interpret,
         )
@@ -1049,4 +1185,59 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
                 _shade_scan_batched(bands, texture_f32, width, height, mode)
             )
     out = jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
+    # Surface the depth-hull clipping diagnostic from the ACTUAL rendered
+    # batches (ADVICE r2: it was silently dropped here, leaving only
+    # render_clip's 3-view sampling). Checking after all dispatches keeps the
+    # pipeline async: prep(last group) has long finished by now.
+    ovf_max = max(int(_np.max(_np.asarray(o))) for o in ovfs)
+    if ovf_max:
+        from ..utils import log
+
+        log(f"WARNING: scan depth-hull window clipped up to {ovf_max} "
+            f"candidate row(s) in this batch (rmax={config.rmax}); raise "
+            f"ScanConfig.rmax or expect misses at extreme depth relief.")
     return out[:T]
+
+
+def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,
+                                 width, height,
+                                 config: ScanConfig | None = None,
+                                 mode: str = "texture", frame_batch: int = 0,
+                                 interpret: bool = False):
+    """Fully-traceable scan path for jit/shard_map contexts -> (T, H, W, 4) u8.
+
+    Same signature shape as ``raster_grid.render_frames_grid`` so the sharded
+    farm (``parallel/sharding.py``) can use the scan kernel per shard. All
+    frames render as ONE group (the sharded callers already chunk views).
+    Deviation from :func:`render_frames_scan`: the inverse MVP rows are
+    computed in-trace in float32 (f64 is unavailable under TPU jit); the
+    relative error of a well-conditioned 4x4 inverse at f32 is ~1e-6 —
+    far below the 8-bit output quantisation.
+    """
+    del frame_batch  # one group; sharded callers chunk the view axis
+    assert mode in ("texture", "debug_z", "wireframe"), mode
+    if uv_grid is not None and not isinstance(uv_grid, jax.core.Tracer):
+        _check_uv_grid(uv_grid)
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    if config is None or not isinstance(config, ScanConfig):
+        config = suggest_scan_config(n_r, width, height)
+    mvps = jnp.asarray(mvps, jnp.float32)
+    minv = jnp.linalg.inv(mvps)
+    minv_rows = jnp.concatenate([minv[:, 2], minv[:, 3]], axis=1)  # (T, 8)
+
+    texture_f32 = jnp.asarray(texture_f32, jnp.float32)
+    ht, wt = int(texture_f32.shape[0]), int(texture_f32.shape[1])
+    rpad_t = max(_ceil_to(ht, 8), config.tex_rows)
+    cpad_t = max(_ceil_to(wt, 128), config.tex_cols)
+    texq = _pack_texture(texture_f32, rpad_t, cpad_t)
+
+    win, w0, bounds, canch, _ = jax.vmap(
+        lambda m: _prep_scan_impl(m, vertex_grid, width, height, config)
+    )(mvps)
+    bands = _raster_scan_pallas(
+        win, texq, (ht, wt), minv_rows, w0, bounds, canch,
+        width, height, n_r, n_c, config, mode, interpret,
+    )
+    u8 = jax.lax.bitcast_convert_type(bands, jnp.uint8)
+    return u8[:, :height, :width]

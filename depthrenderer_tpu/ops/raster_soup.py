@@ -46,6 +46,11 @@ def rasterize_soup(vertices, uvs, indices, mvp, texture_f32, width, height,
     z0, z1, z2 = zn[tri[:, 0]], zn[tri[:, 1]], zn[tri[:, 2]]
     coeffs, area2 = common.triangle_planes(p0, p1, p2, z0, z1, z2)  # (T, 4, 3)
     valid = area2 > 1e-12
+    # Near-plane: mask triangles with any corner at clip_w <= 0 (sign-flipped
+    # projection; the oracle documents the same approximation of GL clipping).
+    valid &= (
+        (inv_w[tri[:, 0]] > 0) & (inv_w[tri[:, 1]] > 0) & (inv_w[tri[:, 2]] > 0)
+    )
 
     if edge_cull_threshold is not None:
         zm = vertices[:, 2]

@@ -33,16 +33,34 @@ def make_render_mesh(devices=None, axis_name: str = "batch") -> Mesh:
 
 
 def _render_frames_impl(impl: str):
-    """Resolve the per-shard frame renderer (the production Pallas kernel or the
-    XLA fallback) so multi-chip runs exercise the same compute path as
+    """Resolve the per-shard frame renderer (the production Pallas kernels or
+    the XLA fallback) so multi-chip runs exercise the same compute path as
     single-chip ones."""
     if impl == "pallas":
         from ..ops import raster_pallas
 
         return raster_pallas.render_frames_pallas
+    if impl == "scan":
+        from ..ops import raster_scan
+
+        # The scan kernel is the single-chip production fast path; per-shard it
+        # runs via the traceable variant (in-trace f32 MVP inverse). Interpret
+        # mode keeps the fake CPU mesh (tests, dryrun) executable.
+        interpret = jax.devices()[0].platform != "tpu"
+
+        def scan_frames(mvps_local, vgrid, uvgrid, tex, width, height, config,
+                        mode="texture", frame_batch: int = 4):
+            return raster_scan.render_frames_scan_traceable(
+                mvps_local, vgrid, uvgrid, tex, width, height,
+                mode=mode, interpret=interpret,
+            )
+
+        return scan_frames
     if impl == "grid":
         return raster_grid.render_frames_grid
-    raise ValueError(f"Unknown sharded raster impl {impl!r} (want 'grid' or 'pallas')")
+    raise ValueError(
+        f"Unknown sharded raster impl {impl!r} (want 'grid', 'pallas' or 'scan')"
+    )
 
 
 def _pad_to_multiple(x, mult, axis=0):

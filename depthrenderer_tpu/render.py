@@ -32,13 +32,29 @@ from .utils import FrameTimer, log
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _auto_impl() -> str:
-    """Pick the rasteriser implementation: the Pallas kernel on real TPUs, the
-    portable XLA path elsewhere (Pallas interpret mode on CPU is far slower)."""
+def _auto_impl(grid_n: Optional[int] = None,
+               edge_cull_threshold: Optional[float] = None) -> str:
+    """Pick the rasteriser implementation for the product surfaces.
+
+    On real TPUs: the column-crossing-scan kernel (the production fast path,
+    ~8x the tiled kernel at 1080p/d10; edge culling runs in-kernel via
+    ScanConfig.edge_cull_threshold) whenever the grid fits its VMEM window
+    budget; the tiled Pallas kernel otherwise. Elsewhere: the portable XLA
+    path (Pallas interpret mode on CPU is far slower).
+    """
+    del edge_cull_threshold  # scan culls in-kernel since round 3
     try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "grid"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return "grid"
+    if not on_tpu:
+        return "grid"
+    if grid_n is not None:
+        from .ops.raster_scan import scan_supported
+
+        if scan_supported(grid_n):
+            return "scan"
+    return "pallas"
 
 
 def _grid_arrays(mesh: Mesh):
@@ -83,6 +99,7 @@ class MeshRenderer:
         self.config = config
         self._config_auto = config is None  # re-derive on mesh swap when auto
         self.mode = mode
+        self._impl_requested = impl
         self.impl = _auto_impl() if impl == "auto" else impl
 
         self.frame_timer = FrameTimer()
@@ -114,6 +131,10 @@ class MeshRenderer:
             if self.config is None or self._config_auto:
                 self.config = suggest_config(n, self.width, self.height)
                 self._config_auto = True
+            # Auto impl is per-mesh: the scan fast path needs the grid size to
+            # know whether its VMEM window budget fits.
+            if self._impl_requested == "auto":
+                self.impl = _auto_impl(n)
 
     @property
     def frame_buffer_shape(self):
@@ -259,18 +280,37 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
 
     assert mesh.is_grid, "render_clip requires a grid mesh (use rasterize_soup otherwise)"
     vgrid, uvgrid, n = _grid_arrays(mesh)
-    impl = _auto_impl() if impl == "auto" else impl
-    if impl == "scan" and edge_cull_threshold is not None:
-        log("NOTICE: the scan rasteriser does not implement edge culling yet; "
-            "falling back to the tiled path for this clip.")
-        impl = _auto_impl()
+    impl = _auto_impl(n, edge_cull_threshold) if impl == "auto" else impl
     if impl == "scan":
         from .ops import raster_scan as _rs
+        from .ops import common as _common
 
         if not _rs.scan_supported(n):
             log(f"NOTICE: grid n={n} exceeds the scan kernel's VMEM window "
                 f"budget; falling back to the tiled path for this clip.")
-            impl = _auto_impl()
+            impl = _auto_impl(None, edge_cull_threshold)
+        else:
+            # Near-plane guard: the scan kernel assumes every vertex projects
+            # with clip_w > 0 (the tiled paths mask offending triangles
+            # per-primitive instead). Sample the clip's extreme views.
+            import jax.numpy as _jnp
+
+            proj_np = np.asarray(projection, np.float32)
+            model_np = np.asarray(mesh.transform, np.float32)
+            ks = np.linspace(0, len(view_batch) - 1,
+                             min(3, len(view_batch))).astype(int)
+            min_iw = min(
+                float(_jnp.min(_common.project_vertices(
+                    vgrid,
+                    proj_np @ np.asarray(view_batch[k], np.float32) @ model_np,
+                    width, height)[3]))
+                for k in ks
+            )
+            if min_iw <= 0.0:
+                log("NOTICE: vertices cross the camera plane (clip_w <= 0) at "
+                    "sampled views; falling back to the tiled path (it masks "
+                    "near-plane triangles per-primitive).")
+                impl = _auto_impl(None, edge_cull_threshold)
     if impl == "scan" or config is not None:
         cfg = config
     else:
@@ -316,7 +356,14 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
     if impl == "scan":
         from .ops import raster_scan
 
-        scan_cfg = raster_scan.suggest_scan_config(n, width, height)
+        # Chunk on the kernel's frame-group boundary and pad the tail chunk up
+        # to it: every dispatch then reuses ONE compiled kernel shape (a fresh
+        # T shape costs a multi-minute Mosaic compile on remote-TPU setups).
+        group = raster_scan._FRAME_GROUP
+        frame_batch = group
+
+        scan_cfg = raster_scan.suggest_scan_config(
+            n, width, height, edge_cull_threshold=edge_cull_threshold)
         # Surface hull-window clipping the way the tiled path surfaces binning
         # overflow (sampled views; 0 = the scan saw every candidate row).
         sample = mvps[np.linspace(0, total - 1, min(3, total)).astype(int)]
@@ -330,9 +377,15 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 f"ScanConfig.rmax or expect misses at extreme depth relief.")
 
         def frames_fn(mvps_c, vg, uvg, tex, w, h, _cfg, mode_, frame_batch):
-            return raster_scan.render_frames_scan(
+            k = mvps_c.shape[0]
+            if k < group:  # pad the tail chunk to the compiled group shape
+                mvps_c = jnp.concatenate(
+                    [mvps_c, jnp.repeat(mvps_c[-1:], group - k, axis=0)]
+                )
+            dev = raster_scan.render_frames_scan(
                 mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_, raw_u32=True
             )
+            return dev[:k]
 
         def post_frames(host):
             return raster_scan.unpack_raw_frames(host, width, height)

@@ -50,9 +50,10 @@ for k in ("nbr", "hyps", "sr", "rmax", "cw", "off"):
 scfg = raster_scan.suggest_scan_config(n, W, H, **_ov)
 print("scan config:", scfg)
 out = raster_scan._prep_scan(jnp.asarray(mvp), vgrid, W, H, scfg)
-print("prep: w0*8 head", np.asarray(out[1][:6]) * 8, "kb", np.asarray(out[2][:6]),
-      "ke", np.asarray(out[3][:6]), "canch", np.asarray(out[4][:8]),
-      "ovf", int(out[5]))
+print("prep: w0*8 head", np.asarray(out[1][:6]) * 8,
+      "kb", np.asarray(out[2][:6, 0]) & 0xFFF,
+      "ke", (np.asarray(out[2][:6, 0]) >> 12) & 0xFFF,
+      "canch", np.asarray(out[3][:8]), "ovf", int(out[4]))
 
 t0 = time.time()
 a = np.asarray(raster_scan.render_frame_scan(mvp, vgrid, uvgrid, texture, W, H, scfg))

@@ -40,15 +40,17 @@ mvp = (proj @ cam @ np.asarray(sway.transform_at(0.0))).astype(np.float32)
 
 scfg = raster_scan.suggest_scan_config(n, W, H)
 print("config:", scfg)
-win, w0, kb, ke, canch, ovf = (np.asarray(a) for a in raster_scan._prep_scan(
+win, w0, bounds, canch, ovf = (np.asarray(a) for a in raster_scan._prep_scan(
     jnp.asarray(mvp), vgrid, W, H, scfg))
+kb = bounds & 0xFFF          # (nbands, nchunks) per-chunk window-relative
+ke = (bounds >> 12) & 0xFFF
 
 minv = np.linalg.inv(np.asarray(mvp, np.float64))
 minv_rows = jnp.asarray(np.concatenate([minv[2], minv[3]]).astype(np.float32))
 texq = jnp.zeros((scfg.tex_rows, scfg.tex_cols), jnp.uint32)
 _, dbg = raster_scan._raster_scan_pallas(
     jnp.asarray(win)[None], texq, (1, 1), minv_rows[None], jnp.asarray(w0)[None],
-    jnp.asarray(kb)[None], jnp.asarray(ke)[None], jnp.asarray(canch)[None],
+    jnp.asarray(bounds)[None], jnp.asarray(canch)[None],
     W, H, n, n, scfg, debug_records=True)
 dbg = np.asarray(dbg)[0]  # (1?, nbr/1, nrec, 8, CL)
 print("records:", dbg.shape)
@@ -60,7 +62,6 @@ FAR = 3.0e38
 def numpy_solve(i):
     """Replica of the kernel's solve for band i on the same window data."""
     w0i = int(w0[i]) * 8
-    kbi, kei = int(kb[i]), int(ke[i])
     winb = win[:, w0i:w0i + scfg.rmax]  # (3, rmax, CL)
     CL = winb.shape[2]
     qy = (H - (i * 8 + np.arange(8)) - 0.5)[:, None]  # (8,1)
@@ -68,21 +69,25 @@ def numpy_solve(i):
     zc = np.full((NBR, 8, CL), FAR, np.float32)
     bw = np.full((NBR, 8, CL), -1.0e9, np.float32)
     cnt = np.zeros((8, CL), np.float32)
-    for k in range(kbi, kei):
-        k1 = min(k + 1, scfg.rmax - 1)
-        s_hi = winb[1, k][None, :]
-        s_lo = winb[1, k1][None, :]
-        cross = (s_hi >= qy) & (s_lo < qy)
-        denom = np.maximum(s_hi - s_lo, 1e-12)
-        frac = np.where(cross, (s_hi - qy) / denom, 0.0).astype(np.float32)
-        sxn = (winb[0, k][None] + (winb[0, k1][None] - winb[0, k][None]) * frac)
-        zn = (winb[2, k][None] + (winb[2, k1][None] - winb[2, k][None]) * frac)
-        for s in range(NBR):
-            fire = cross & (cnt == s)
-            sxc[s] = np.where(fire, sxn, sxc[s])
-            zc[s] = np.where(fire, zn, zc[s])
-            bw[s] = np.where(fire, float(k), bw[s])
-        cnt += cross
+    for ci in range(CL // 128):
+        cs = slice(ci * 128, ci * 128 + 128)
+        for k in range(int(kb[i, ci]), int(ke[i, ci])):
+            k1 = min(k + 1, scfg.rmax - 1)
+            s_hi = winb[1, k][None, cs]
+            s_lo = winb[1, k1][None, cs]
+            cross = (s_hi >= qy) & (s_lo < qy)
+            denom = np.maximum(s_hi - s_lo, 1e-12)
+            frac = np.where(cross, (s_hi - qy) / denom, 0.0).astype(np.float32)
+            sxn = (winb[0, k][None, cs]
+                   + (winb[0, k1][None, cs] - winb[0, k][None, cs]) * frac)
+            zn = (winb[2, k][None, cs]
+                  + (winb[2, k1][None, cs] - winb[2, k][None, cs]) * frac)
+            for s in range(NBR):
+                fire = cross & (cnt[:, cs] == s)
+                sxc[s][:, cs] = np.where(fire, sxn, sxc[s][:, cs])
+                zc[s][:, cs] = np.where(fire, zn, zc[s][:, cs])
+                bw[s][:, cs] = np.where(fire, float(k), bw[s][:, cs])
+            cnt[:, cs] += cross
     return sxc, zc, bw
 
 

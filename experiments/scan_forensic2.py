@@ -42,14 +42,14 @@ mvp = (proj @ cam @ np.asarray(sway.transform_at(0.0))).astype(np.float32)
 
 scfg = raster_scan.suggest_scan_config(n, W, H)
 SR, OFF, CW = scfg.sr, scfg.off, scfg.cw
-win, w0, kb, ke, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
+win, w0, bounds, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
     jnp.asarray(mvp), vgrid, W, H, scfg))
 minv = np.linalg.inv(np.asarray(mvp, np.float64))
 minv_rows = np.concatenate([minv[2], minv[3]]).astype(np.float32)
 texq = jnp.zeros((scfg.tex_rows, scfg.tex_cols), jnp.uint32)
 out, dbg = raster_scan._raster_scan_pallas(
     jnp.asarray(win)[None], texq, (1, 1), jnp.asarray(minv_rows)[None],
-    jnp.asarray(w0)[None], jnp.asarray(kb)[None], jnp.asarray(ke)[None],
+    jnp.asarray(w0)[None], jnp.asarray(bounds)[None],
     jnp.asarray(canch)[None], W, H, n, n, scfg, debug_records=True)
 out = np.asarray(out)[0]   # (nbands, 8ch, 8, WL)
 dbg = np.asarray(dbg)[0]   # (nbands, 1, nrec, 8, CL)

@@ -73,31 +73,31 @@ texq = raster_scan._pack_texture(texture, rpt, cpt)
 t_prep, prep = timeit(
     "prep (XLA)",
     lambda: raster_scan._prep_scan_batched(mvps, vgrid, W, H, scfg))
-win, w0, kb, ke, canch, _ = prep
+win, w0, bounds, canch, _ = prep
 
 t_nocap, _ = timeit(
     "kernel solve-nocapture",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
         phases="solve_nocap"))
 t_solve, _ = timeit(
     "kernel solve-only",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
         phases="solve"))
 t_march, _ = timeit(
     "kernel march-only",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
         phases="march_only"))
 t_attrs, bands = timeit(
     "kernel attrs (no shade)",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg))
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg))
 t_all, rgba = timeit(
     "kernel + in-kernel shade",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, kb, ke, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
         mode="texture"))
 t_shade, _ = timeit(
     "XLA shade (legacy)",

@@ -130,6 +130,71 @@ def test_scan_prep_overflow_diagnostic(checker_texture):
     assert int(out[-1]) > 0
 
 
+def test_scan_solve_forensics_vs_host_replica(checker_texture):
+    """Replay the compiled solve against a host-side numpy replica (round-3
+    VERDICT item: production-config scan forensics in CI). The kernel's
+    ``debug_records`` hook exports slot-0's full record planes; the replica
+    recomputes the crossing/slot assignment from the same window data and
+    per-chunk bounds, so a solver regression surfaces without a TPU."""
+    import jax.numpy as jnp
+
+    verts, uvs, idx, mvp, _ = scene(density=4, size=(48, 64), seed=9)
+    n = int(np.sqrt(len(verts)))
+    W, H = 96, 72
+    cfg = CFG_MED
+    win, w0, bounds, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
+        jnp.asarray(mvp, jnp.float32), verts.reshape(n, n, 3), W, H, cfg))
+    kb = bounds & 0xFFF
+    ke = (bounds >> 12) & 0xFFF
+    minv = np.linalg.inv(np.asarray(mvp, np.float64))
+    minv_rows = jnp.asarray(
+        np.concatenate([minv[2], minv[3]]).astype(np.float32))
+    texq = jnp.zeros((cfg.tex_rows, cfg.tex_cols), jnp.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        _, dbg = raster_scan._raster_scan_pallas(
+            jnp.asarray(win)[None], texq, (1, 1), minv_rows[None],
+            jnp.asarray(w0)[None], jnp.asarray(bounds)[None],
+            jnp.asarray(canch)[None], W, H, n, n, cfg,
+            interpret=True, debug_records=True)
+    dbg = np.asarray(dbg)[0]  # (nbands, 1, nrec, 8, CL)
+
+    FAR = 3.0e38
+    nbands = H // 8
+    CL = win.shape[2]
+    for i in range(0, nbands, 3):
+        w0i = int(w0[i]) * 8
+        winb = win[:, w0i:w0i + cfg.rmax]
+        qy = (H - (i * 8 + np.arange(8)) - 0.5)[:, None]
+        sxc = np.full((8, CL), FAR, np.float32)
+        bw = np.full((8, CL), -1.0e9, np.float32)
+        cnt = np.zeros((8, CL), np.float32)
+        for ci in range(CL // 128):
+            cs = slice(ci * 128, ci * 128 + 128)
+            for k in range(int(kb[i, ci]), int(ke[i, ci])):
+                k1 = min(k + 1, cfg.rmax - 1)
+                s_hi = winb[1, k][None, cs]
+                s_lo = winb[1, k1][None, cs]
+                cross = (s_hi >= qy) & (s_lo < qy)
+                denom = np.maximum(s_hi - s_lo, 1e-12)
+                frac = np.where(cross, (s_hi - qy) / denom, 0.0).astype(
+                    np.float32)
+                sxn = (winb[0, k][None, cs]
+                       + (winb[0, k1][None, cs] - winb[0, k][None, cs]) * frac)
+                fire = cross & (cnt[:, cs] == 0)
+                sxc[:, cs] = np.where(fire, sxn, sxc[:, cs])
+                bw[:, cs] = np.where(fire, float(k), bw[:, cs])
+                cnt[:, cs] += cross
+        got_sxc = dbg[i, 0, 0]
+        got_bw = dbg[i, 0, 2]
+        valid = bw > -1e8
+        assert ((got_bw > -1e8) == valid).mean() > 0.999, f"band {i}: slot-0 validity"
+        if valid.any():
+            mism = ~np.isclose(got_sxc[valid], sxc[valid], rtol=1e-4,
+                               atol=1e-2)
+            assert mism.mean() < 0.005, f"band {i}: sxc mismatch {mism.mean()}"
+            assert np.allclose(got_bw[valid], bw[valid]), f"band {i}: basew"
+
+
 def test_scan_wireframe(checker_texture):
     # In-kernel wireframe: coverage restricted to pixels near triangle edges.
     verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=7)

@@ -135,3 +135,26 @@ def test_frames_sharded_pallas_interpret(checker_texture):
     assert frames.shape == ref.shape
     diff = np.any(frames.astype(int) != ref.astype(int), axis=-1)
     assert diff.mean() < 1e-3, f"{diff.sum()} pixels differ from the grid path"
+
+
+def test_frames_sharded_scan_interpret(checker_texture):
+    """The scan fast path must run under shard_map (round-3 VERDICT #3: the
+    sharded farm could not use the production fast path); interpret mode on
+    the fake CPU mesh, compared against its own single-device render."""
+    from depthrenderer_tpu.ops import raster_scan
+
+    vgrid, uvgrid, tex, proj, cam, sway = tiny_scene(checker_texture)
+    W, H = 64, 48
+    times = animation.frame_times(8, 24.0)
+    views = np.asarray(sway.batch(times))
+    mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
+
+    mesh = make_render_mesh()
+    frames = np.asarray(render_frames_sharded(
+        mesh, mvps, vgrid, uvgrid, tex, W, H, CFG, impl="scan",
+    ))
+    single = np.asarray(raster_scan.render_frames_scan_traceable(
+        mvps, vgrid, uvgrid, tex, W, H, interpret=True))
+    assert frames.shape == single.shape
+    diff = np.any(frames.astype(int) != single.astype(int), axis=-1)
+    assert diff.mean() < 1e-3, f"{diff.sum()} pixels differ from single-device"

@@ -74,36 +74,85 @@ def render_gl(exe, width, height, mvp, verts, uvs, indices, texture_topdown):
     return raw[::-1].copy()  # GL reads bottom-up; our frames are top-down
 
 
+def production_scene(width, height, density):
+    """The bench headline scene (bench.py): depth + texture resized to the
+    output resolution, camera aspect = output aspect, sway camera path."""
+    colour = dio.load_colour(f"{SAMPLES}/00000_colors.png")
+    depth = dio.resize(dio.load_depth(f"{SAMPLES}/00000_depth.png"),
+                       (height, width))
+    texture = dio.resize(colour, (height, width))
+    verts, uvs, indices = (np.asarray(a) for a in
+                           meshgen.grid_mesh(depth, density))
+    verts = verts.copy()
+    verts[:, 2] *= 4.0
+    proj = np.asarray(transforms.perspective(18.0, width / height))
+    cam = np.asarray(transforms.translation(dz=-10.0))
+    return texture, depth, verts, uvs, indices, proj, cam
+
+
+def bench_view(proj, cam, view: str, frames=64, fps=60.0):
+    """MVP for 'frontal' or 'sway:K' (frame K of the bench's 64-frame path)."""
+    if view == "frontal":
+        return (proj @ cam).astype(np.float32)
+    assert view.startswith("sway:"), view
+    from depthrenderer_tpu import animation
+
+    k = int(view.split(":")[1])
+    sway = animation.default_sway(5.0)
+    times = animation.frame_times(frames, fps)
+    v = np.asarray(sway.batch(times))[k]
+    return (proj @ cam @ v).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--density", type=int, default=8)
+    ap.add_argument("--view", default="frontal",
+                    help="'frontal' or 'sway:K' (frame K of the bench's "
+                         "64-frame sway path at 60 fps).")
+    ap.add_argument("--production", action="store_true",
+                    help="Use the bench headline scene layout: depth AND "
+                         "texture resized to the output resolution, camera "
+                         "aspect = output aspect (bench.py). Default layout is "
+                         "the reference-CLI one: native 640x480 colour/depth, "
+                         "camera aspect = image aspect.")
+    ap.add_argument("--out", default=None,
+                    help="Output golden path (default: the d8 frontal golden).")
     ap.add_argument("--check", action="store_true",
                     help="Also render with this package and report masked PSNR.")
     args = ap.parse_args()
 
-    colour = dio.load_colour(f"{SAMPLES}/00000_colors.png")
-    depth = dio.resize(dio.load_depth(f"{SAMPLES}/00000_depth.png"), colour.shape)
-    verts, uvs, indices = (np.asarray(a) for a in
-                           meshgen.grid_mesh(depth, args.density))
-    verts = verts.copy()
-    verts[:, 2] *= 4.0  # displacement_factor, __main__.py:91
+    if args.production:
+        texture, depth, verts, uvs, indices, proj, cam = production_scene(
+            args.width, args.height, args.density)
+    else:
+        colour = dio.load_colour(f"{SAMPLES}/00000_colors.png")
+        depth = dio.resize(dio.load_depth(f"{SAMPLES}/00000_depth.png"),
+                           colour.shape)
+        verts, uvs, indices = (np.asarray(a) for a in
+                               meshgen.grid_mesh(depth, args.density))
+        verts = verts.copy()
+        verts[:, 2] *= 4.0  # displacement_factor, __main__.py:91
+        texture = colour
+        aspect = colour.shape[1] / colour.shape[0]
+        proj = np.asarray(transforms.perspective(18.0, aspect))
+        cam = np.asarray(transforms.translation(dz=-10.0))
 
-    aspect = colour.shape[1] / colour.shape[0]
-    proj = np.asarray(transforms.perspective(18.0, aspect))
-    mvp = (proj @ np.asarray(transforms.translation(dz=-10.0))).astype(np.float32)
+    mvp = bench_view(proj, cam, args.view)
 
     with tempfile.TemporaryDirectory() as tmp:
         exe = build_tool(tmp)
         frame = render_gl(exe, args.width, args.height, mvp, verts, uvs,
-                          indices, colour)
+                          indices, texture)
 
     from PIL import Image
 
-    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-    Image.fromarray(frame).save(GOLDEN)
-    print(f"wrote {GOLDEN}")
+    out = args.out or GOLDEN
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    Image.fromarray(frame).save(out)
+    print(f"wrote {out}")
 
     if args.check:
         from depthrenderer_tpu.evaluate import masked_psnr
@@ -113,7 +162,7 @@ def main():
         n = 2 ** args.density + 1
         ours = np.asarray(render_frame_grid(
             mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
-            colour.astype(np.float32), args.width, args.height,
+            texture.astype(np.float32), args.width, args.height,
             suggest_config(n, args.width, args.height),
         ))
         overall = masked_psnr(ours, frame)

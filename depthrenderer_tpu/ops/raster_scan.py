@@ -81,6 +81,14 @@ class ScanConfig:
     :param dmax: cap on the neighbour-strip realign delta (None = full
         +-(sr-1) range). +-5 saves ~0.9 ms/frame at -0.22pp winner agreement
         (scan_proto3 DMAX sweep).
+    :param big_grid: the large-grid kernel variant (d11/d12, BASELINE config
+        #4): the row window is DMA'd PER 128-COLUMN CHUNK (per-chunk spans
+        stay under rmax even at d12 — measured max 287 rows at 4K/d12 —
+        where the band-union window would need ~1280 rows and 65 MB of VMEM),
+        records store GLOBAL base rows, and the march reads the record table
+        directly through 128-aligned lane slices + a per-block (8, W)->(W, 8)
+        transpose instead of the sublane-major curve scratch (whose lane-dim
+        padding costs 16x VMEM at d12).
     :param edge_cull_threshold: if set, cull cells whose corner model-z spread
         exceeds this value inside the kernel — the scan-path equivalent of
         RasterConfig.edge_cull_threshold (depth-discontinuity culling; the
@@ -97,6 +105,7 @@ class ScanConfig:
     margin: int = 10
     dmax: int | None = None
     edge_cull_threshold: float | None = None
+    big_grid: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -111,7 +120,8 @@ class ScanConfig:
         assert 1 <= self.nbr <= 4
         assert self.hyps in (1, 2)
         assert self.rmax % 8 == 0
-        assert self.rmax < 4096  # 12-bit packed per-chunk bounds
+        # packed per-chunk bounds: 12-bit kb/ke (standard), 9-bit (big_grid)
+        assert self.rmax < (512 if self.big_grid else 4096)
         assert self.tex_rows % 8 == 0 and self.tex_cols % 128 == 0
         assert self.dmax is None or 1 <= self.dmax <= self.sr - 1
 
@@ -128,15 +138,29 @@ def _ceil_to(x: int, m: int) -> int:
 def scan_supported(grid_n: int, config: ScanConfig | None = None) -> bool:
     """Whether the scan kernel's VMEM budget fits this grid.
 
-    The per-band window scratch is 3 * rmax * ceil(grid_n, 128) * 4 bytes; at
-    density 12 (n=4097) that alone exceeds VMEM, and the depth-hull row span
-    also outgrows any affordable rmax. Callers should fall back to the tiled
-    path beyond this (render_clip does).
+    The standard variant needs the (3, rmax, CL) band window plus the
+    sublane-major curve scratch; beyond ~d10 that exceeds VMEM and
+    ``suggest_scan_config`` switches to the ``big_grid`` variant (per-chunk
+    window DMA, no curve scratch), which fits through d12 (n=4097). Callers
+    should fall back to the tiled path only when even that fails.
     """
     cfg = config if config is not None else suggest_scan_config(grid_n, 1920,
                                                                 1080)
-    win_bytes = 3 * cfg.rmax * _ceil_to(grid_n, 128) * 4
-    rec_bytes = cfg.nbr * cfg.nrec * 8 * _ceil_to(grid_n, 128) * 4
+    return _vmem_budget_ok(grid_n, cfg)
+
+
+def _vmem_budget_ok(grid_n: int, cfg: ScanConfig) -> bool:
+    cl = _ceil_to(grid_n, 128)
+    rec_bytes = cfg.nbr * cfg.nrec * 8 * cl * 4
+    if cfg.big_grid:
+        # No curve scratch; window is one 128-column chunk. The record table
+        # is the dominant term (8.9 MB at d12/sr=10).
+        win_bytes = 3 * cfg.rmax * 128 * 4
+        tex_bytes = cfg.tex_rows * cfg.tex_cols * 4
+        return win_bytes + rec_bytes + tex_bytes < 10 * 2**20
+    # Standard variant: the round-2 validated budget (curve scratch and
+    # texture window ride in the measured headroom at d10).
+    win_bytes = 3 * cfg.rmax * cl * 4
     return win_bytes + rec_bytes < 9 * 2**20
 
 
@@ -160,6 +184,10 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     overrides.setdefault("sr", 10)
     overrides.setdefault("off", 4)
     overrides.setdefault("dmax", 5)
+    # 4K outputs spread a block's texture footprint wider; one extra 128-col
+    # page keeps the clamp-to-window outliers as rare as at 1080p.
+    if width > 2048:
+        overrides.setdefault("tex_cols", 512)
     # The march window anchors on an 8-column grid (sublane alignment of the
     # transposed curve), so cw only needs the span itself: half the block's
     # own extent in cells + the fold/anchor spread (measured -78..+42 cols
@@ -172,7 +200,13 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         max(128, min(_ceil_to(2 * half_need + 8, 128),
                      _ceil_to(grid_n, 128))),
     )
-    return ScanConfig(rmax=rmax, cw=cw, **overrides)
+    cfg = ScanConfig(rmax=rmax, cw=cw, **overrides)
+    if not cfg.big_grid and not _vmem_budget_ok(grid_n, cfg):
+        # Large grids (d11/d12): per-chunk window DMA + curve-free march.
+        # Per-chunk row spans stay small (measured max 287 at 4K/d12,
+        # experiments/hull_stats), so the default rmax applies per chunk.
+        cfg = dataclasses.replace(cfg, big_grid=True, rmax=min(cfg.rmax, 320))
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -261,28 +295,52 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     r_lo = jnp.clip(k0 - config.margin, 0, max(n_r - 2, 0))
     r_hi = jnp.clip(k1 + config.margin, 0, max(n_r - 2, 0))
 
-    # Band window origin: min over chunks; strip rows reach off below the
-    # first crossing row. Rounded down to a multiple of 8: the kernel's DMA
-    # source slice needs a provably sublane-aligned offset (Mosaic: "tile
-    # index ... divisible by the tiling (8)"), so w0 is passed in 8-row units.
-    r_lo_band = jnp.min(jnp.where(empty, big, r_lo), axis=1)
-    r_lo_band = jnp.where(r_lo_band >= big, 0, r_lo_band)
-    w0 = jnp.clip(r_lo_band - (config.off + 3), 0, max(RPAD - config.rmax, 0))
-    w0 = (w0 // 8) * 8  # (nbands,)
-
     # Scan rows k in [kb, ke): needs row k+1; capture tail needs sr-off-1 more.
     tail = config.sr - config.off
     ke_cap = config.rmax - tail - 1
-    kb = jnp.clip(r_lo - w0[:, None], 0, ke_cap)
-    ke = jnp.minimum(r_hi + 1 - w0[:, None],
-                     jnp.minimum(n_r - 1 - w0[:, None], ke_cap))
-    ke = jnp.maximum(ke, kb)
-    kb = jnp.where(empty, 0, kb)
-    ke = jnp.where(empty, 0, ke)
-    overflow_rows = jnp.sum(
-        jnp.where(empty, 0, jnp.maximum((r_hi + 1 - w0[:, None]) - ke_cap, 0))
-    )
-    bounds = (kb | (ke << 12)).astype(jnp.int32)  # (nbands, nchunks) packed
+    if config.big_grid:
+        # Per-chunk window origin: each 128-column chunk DMAs its own
+        # (3, rmax, 128) row window; bounds pack (w0c_units | kb<<10 |
+        # ke<<19). Band-level w0 is unused (zeros keep the prefetch shape).
+        w0c = jnp.clip(r_lo - (config.off + 3), 0, max(RPAD - config.rmax, 0))
+        w0c = (w0c // 8) * 8  # (nbands, nchunks)
+        kb = jnp.clip(r_lo - w0c, 0, ke_cap)
+        ke = jnp.minimum(r_hi + 1 - w0c,
+                         jnp.minimum(n_r - 1 - w0c, ke_cap))
+        ke = jnp.maximum(ke, kb)
+        kb = jnp.where(empty, 0, kb)
+        ke = jnp.where(empty, 0, ke)
+        overflow_rows = jnp.sum(
+            jnp.where(empty, 0, jnp.maximum((r_hi + 1 - w0c) - ke_cap, 0))
+        )
+        bounds = ((w0c // 8) | (kb << 10) | (ke << 19)).astype(jnp.int32)
+        bounds = bounds.reshape(-1)  # SMEM pads the LAST dim to 128: keep 1-D
+        w0 = jnp.zeros((nbands,), jnp.int32)
+    else:
+        # Band window origin: min over chunks; strip rows reach off below the
+        # first crossing row. Rounded down to a multiple of 8: the kernel's
+        # DMA source slice needs a provably sublane-aligned offset (Mosaic:
+        # "tile index ... divisible by the tiling (8)"), so w0 is passed in
+        # 8-row units.
+        r_lo_band = jnp.min(jnp.where(empty, big, r_lo), axis=1)
+        r_lo_band = jnp.where(r_lo_band >= big, 0, r_lo_band)
+        w0 = jnp.clip(r_lo_band - (config.off + 3),
+                      0, max(RPAD - config.rmax, 0))
+        w0 = (w0 // 8) * 8  # (nbands,)
+        kb = jnp.clip(r_lo - w0[:, None], 0, ke_cap)
+        ke = jnp.minimum(r_hi + 1 - w0[:, None],
+                         jnp.minimum(n_r - 1 - w0[:, None], ke_cap))
+        ke = jnp.maximum(ke, kb)
+        kb = jnp.where(empty, 0, kb)
+        ke = jnp.where(empty, 0, ke)
+        overflow_rows = jnp.sum(
+            jnp.where(empty, 0,
+                      jnp.maximum((r_hi + 1 - w0[:, None]) - ke_cap, 0))
+        )
+        # (nbands * nchunks,) flattened: a trailing dim of `nchunks` would be
+        # SMEM-padded to 128 lanes (measured 1.06 MB > the 1 MiB SMEM budget
+        # at T=16/1080p/d10); flat it stays at ~5 KB per frame.
+        bounds = (kb | (ke << 12)).astype(jnp.int32).reshape(-1)
 
     # March anchors per 128-pixel block from the mean projected column x,
     # in 8-column units (the transposed curve slices on the sublane grid;
@@ -314,8 +372,13 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                  tex_hbm, *refs, config: ScanConfig, width: int, height: int,
                  n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
                  mode: str, debug_records: bool = False, phases: str = "all"):
-    if debug_records:
+    curve_ref = None
+    if debug_records and config.big_grid:
+        out_ref, dbg_ref, win_ref, rec_ref, texw_ref, sem = refs
+    elif debug_records:
         out_ref, dbg_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
+    elif config.big_grid:
+        out_ref, win_ref, rec_ref, texw_ref, sem = refs
     else:
         out_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
     """One grid step per 8-pixel-row band: DMA the hull row window, solve the
@@ -335,11 +398,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
     w0 = w0_ref[t, i] * 8  # in 8-row units: provably tile-aligned offset
 
-    copy = pltpu.make_async_copy(
-        win_hbm.at[t, :, pl.ds(w0, config.rmax), :], win_ref, sem.at[0]
-    )
-    copy.start()
-    copy.wait()
+    if not config.big_grid:  # big_grid DMAs per chunk inside solve_chunk
+        copy = pltpu.make_async_copy(
+            win_hbm.at[t, :, pl.ds(w0, config.rmax), :], win_ref, sem.at[0]
+        )
+        copy.start()
+        copy.wait()
 
     nchunks = cl // 128
 
@@ -361,14 +425,33 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
 
     def load_block(v, b, chunk):
         """Window rows 8b..8b+7 of channel v as (8, 128)."""
+        if config.big_grid:  # the window scratch holds only this chunk
+            return win_ref[v, pl.ds(b * 8, 8), :].reshape(8, 128)
         return win_ref[v, pl.ds(b * 8, 8), pl.ds(chunk * 128, 128)].reshape(
             8, 128
         )
 
     def solve_chunk(chunk, _):
-        bnd = bounds_ref[t, i, chunk]
-        kb = bnd & 0xFFF          # per-chunk scan bounds, window-relative
-        ke = (bnd >> 12) & 0xFFF
+        bnd = bounds_ref[t, i * nchunks + chunk]
+        if config.big_grid:
+            w0c = (bnd & 0x3FF) * 8   # chunk window origin (global rows)
+            kb = (bnd >> 10) & 0x1FF  # scan bounds, chunk-window-relative
+            ke = (bnd >> 19) & 0x1FF
+            ccopy = pltpu.make_async_copy(
+                win_hbm.at[t, :, pl.ds(w0c, config.rmax),
+                           pl.ds(chunk * 128, 128)],
+                win_ref, sem.at[0],
+            )
+            ccopy.start()
+            ccopy.wait()
+            # records store GLOBAL base rows in this mode (chunks have
+            # different window origins, and the march/fetch mix columns
+            # across chunks)
+            k_base = w0c.astype(jnp.float32)
+        else:
+            kb = bnd & 0xFFF          # per-chunk scan bounds, window-relative
+            ke = (bnd >> 12) & 0xFFF
+            k_base = jnp.float32(0.0)
 
         def init_slot():
             zero = jnp.zeros((8, 128), jnp.float32)
@@ -389,7 +472,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             nxt = tuple(load_block(v, bn, chunk) for v in range(3))
             for j in range(8):
                 k = b * 8 + j
-                kf = k.astype(jnp.float32)
+                kf = k.astype(jnp.float32) + k_base
                 row0 = tuple(cur[v][j : j + 1] for v in range(3))  # row k
                 row1 = tuple(  # row k+1
                     cur[v][j + 1 : j + 2] if j < 7 else nxt[v][0:1]
@@ -468,9 +551,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     jax.lax.fori_loop(0, nchunks, solve_chunk, 0)
 
     # Sublane-major crossing curves for the march (one transpose per band).
-    for s in range(NBR):
-        curve_ref[s, 0] = jnp.transpose(rec_ref[s, 0], (1, 0))
-        curve_ref[s, 1] = jnp.transpose(rec_ref[s, 1], (1, 0))
+    # big_grid marches straight off the record planes through 128-aligned
+    # lane slices + per-block transposes instead (16x less VMEM at d12).
+    if not config.big_grid:
+        for s in range(NBR):
+            curve_ref[s, 0] = jnp.transpose(rec_ref[s, 0], (1, 0))
+            curve_ref[s, 1] = jnp.transpose(rec_ref[s, 1], (1, 0))
     if debug_records:
         for p in range(config.nrec):
             dbg_ref[0, 0, 0, p] = rec_ref[0, p]
@@ -479,7 +565,6 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     # minv rows 2, 3 — element reads (only scalars can load from SMEM)
     m2r = [fconst_ref[t, k] for k in range(4)]
     m3r = [fconst_ref[t, 4 + k] for k in range(4)]
-    iota_cw = jax.lax.broadcasted_iota(jnp.int32, (CW, 128), 0).astype(jnp.float32)
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
     inv_ncm1 = 1.0 / jnp.float32(max(n_c - 1, 1))
     inv_nrm1 = 1.0 / jnp.float32(max(n_r - 1, 1))
@@ -490,6 +575,11 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     # out of bounds when CL < cw + 128 (small grids), and Pallas clamps the
     # slice start, silently aliasing subtable 1 onto the table's first lanes.
     CWF = min(CW + 128, cl)
+    # March window width: big_grid marches over the whole 128-aligned fetch
+    # window (no separate sublane-major curve), standard over the cw window.
+    MW = CWF if config.big_grid else CW
+    iota_cw = jax.lax.broadcasted_iota(jnp.int32, (MW, 128), 0).astype(
+        jnp.float32)
 
     def gather_rec(s, plane, canch_f, idx):
         """rec[s, plane, y, canch_f*128 + idx] as (8, 128) — mod-128
@@ -515,9 +605,14 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     def march_block(blk, _):
         canch_m = canch_ref[t, blk] * 8        # march anchor, 8-col aligned
         canch_f = canch_m // 128               # fetch-table anchor (128-aligned)
-        off_f = canch_m - canch_f * 128        # march col -> fetch-window col
+        if config.big_grid:
+            off_f = canch_m - canch_m          # march window == fetch window
+        else:
+            off_f = canch_m - canch_f * 128    # march col -> fetch-window col
         qx = (blk * 128).astype(jnp.float32) + lane_f + 0.5  # (8, 128)
-        cgf = canch_m.astype(jnp.float32)
+        # cgf - off_f below lands on the fetch window's global start column in
+        # both modes (canch_f * 128).
+        cgf = (canch_f * 128 + off_f).astype(jnp.float32)
 
         best = (
             jnp.full((8, 128), _FAR, jnp.float32),   # z
@@ -530,7 +625,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
 
         def march_one(o_idx):
             """Exact-test the records picked by an (8, 128) march hypothesis."""
-            jf = jnp.clip(o_idx, 0.0, jnp.float32(CW - 1))
+            jf = jnp.clip(o_idx, 0.0, jnp.float32(MW - 1))
             j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
             return lambda best_in, s: _exact_record(
                 best_in, s, j_i, canch_f, cgf - off_f.astype(jnp.float32),
@@ -539,9 +634,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             )
 
         for s in range(NBR):
-            # -- march: dense (CW x 128) outer sign test, top-`hyps` by zc --
-            sxc_t = curve_ref[s, 0, pl.ds(canch_m, CW), :]
-            zc_t = curve_ref[s, 1, pl.ds(canch_m, CW), :]
+            # -- march: dense (MW x 128) outer sign test, top-`hyps` by zc --
+            if config.big_grid:
+                # No curve scratch: read the record planes via 128-aligned
+                # lane slices and transpose per block ((8, X) -> (X, 8)
+                # lowers natively).
+                lsl = pl.ds(pl.multiple_of(canch_f * 128, 128), MW)
+                sxc_t = jnp.transpose(rec_ref[s, 0, :, lsl], (1, 0))
+                zc_t = jnp.transpose(rec_ref[s, 1, :, lsl], (1, 0))
+            else:
+                sxc_t = curve_ref[s, 0, pl.ds(canch_m, CW), :]
+                zc_t = curve_ref[s, 1, pl.ds(canch_m, CW), :]
             # Block-level slot gate (round 3): a slot with NO record in the
             # march window (slot 1 away from folds — the common case) used to
             # run the full march + fetch + exact pipeline against FAR records;
@@ -555,12 +658,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                     c = sxc_t[:, y : y + 1]          # (CW, 1)
                     zz = zc_t[:, y : y + 1]
                     f = c - (qx[y : y + 1, :])       # (CW, 128) row y's qx ramp
-                    f2 = pltpu.roll(f, CW - 1, 0)
-                    hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
+                    f2 = pltpu.roll(f, MW - 1, 0)
+                    hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
                     key = jnp.where(hit, zz, _FAR)
                     m1 = jnp.min(key, axis=0, keepdims=True)
                     o1 = jnp.min(
-                        jnp.where(key == m1, iota_cw, jnp.float32(CW)),
+                        jnp.where(key == m1, iota_cw, jnp.float32(MW)),
                         axis=0,
                         keepdims=True,
                     )
@@ -586,18 +689,18 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                             c = sxc_t[:, y : y + 1]
                             zz = zc_t[:, y : y + 1]
                             f = c - (qx[y : y + 1, :])
-                            f2 = pltpu.roll(f, CW - 1, 0)
-                            hit = (f * f2 <= 0.0) & (iota_cw < CW - 1)
+                            f2 = pltpu.roll(f, MW - 1, 0)
+                            hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)
                             o1 = jnp.min(
-                                jnp.where(key == m1, iota_cw, jnp.float32(CW)),
+                                jnp.where(key == m1, iota_cw, jnp.float32(MW)),
                                 axis=0, keepdims=True,
                             )
                             key2 = jnp.where(iota_cw == o1, _FAR, key)
                             m2 = jnp.min(key2, axis=0, keepdims=True)
                             o2 = jnp.min(
-                                jnp.where(key2 == m2, iota_cw, jnp.float32(CW)),
+                                jnp.where(key2 == m2, iota_cw, jnp.float32(MW)),
                                 axis=0, keepdims=True,
                             )
                             hyp2.append(o2)
@@ -972,13 +1075,15 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((3, config.rmax, cl), jnp.float32),
-            pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32),
-            pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32),
-            pltpu.VMEM((config.tex_rows, config.tex_cols), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((3, config.rmax, 128 if config.big_grid else cl),
+                        jnp.float32),
+             pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32)]
+            + ([] if config.big_grid
+               else [pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32)])
+            + [pltpu.VMEM((config.tex_rows, config.tex_cols), jnp.uint32),
+               pltpu.SemaphoreType.DMA((2,))]
+        ),
     )
     kernel = functools.partial(
         _scan_kernel, config=config, width=width, height=height,

@@ -51,8 +51,7 @@ scfg = raster_scan.suggest_scan_config(n, W, H, **_ov)
 print("scan config:", scfg)
 out = raster_scan._prep_scan(jnp.asarray(mvp), vgrid, W, H, scfg)
 print("prep: w0*8 head", np.asarray(out[1][:6]) * 8,
-      "kb", np.asarray(out[2][:6, 0]) & 0xFFF,
-      "ke", (np.asarray(out[2][:6, 0]) >> 12) & 0xFFF,
+      "bounds[:6]", np.asarray(out[2][:6]),
       "canch", np.asarray(out[3][:8]), "ovf", int(out[4]))
 
 t0 = time.time()

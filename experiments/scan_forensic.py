@@ -42,8 +42,9 @@ scfg = raster_scan.suggest_scan_config(n, W, H)
 print("config:", scfg)
 win, w0, bounds, canch, ovf = (np.asarray(a) for a in raster_scan._prep_scan(
     jnp.asarray(mvp), vgrid, W, H, scfg))
-kb = bounds & 0xFFF          # (nbands, nchunks) per-chunk window-relative
-ke = (bounds >> 12) & 0xFFF
+bounds2 = bounds.reshape(len(w0), -1)
+kb = bounds2 & 0xFFF          # (nbands, nchunks) per-chunk window-relative
+ke = (bounds2 >> 12) & 0xFFF
 
 minv = np.linalg.inv(np.asarray(mvp, np.float64))
 minv_rows = jnp.asarray(np.concatenate([minv[2], minv[3]]).astype(np.float32))

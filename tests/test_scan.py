@@ -144,8 +144,10 @@ def test_scan_solve_forensics_vs_host_replica(checker_texture):
     cfg = CFG_MED
     win, w0, bounds, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
         jnp.asarray(mvp, jnp.float32), verts.reshape(n, n, 3), W, H, cfg))
-    kb = bounds & 0xFFF
-    ke = (bounds >> 12) & 0xFFF
+    nbands = H // 8
+    bounds2 = bounds.reshape(nbands, -1)
+    kb = bounds2 & 0xFFF
+    ke = (bounds2 >> 12) & 0xFFF
     minv = np.linalg.inv(np.asarray(mvp, np.float64))
     minv_rows = jnp.asarray(
         np.concatenate([minv[2], minv[3]]).astype(np.float32))
@@ -159,7 +161,6 @@ def test_scan_solve_forensics_vs_host_replica(checker_texture):
     dbg = np.asarray(dbg)[0]  # (nbands, 1, nrec, 8, CL)
 
     FAR = 3.0e38
-    nbands = H // 8
     CL = win.shape[2]
     for i in range(0, nbands, 3):
         w0i = int(w0[i]) * 8

@@ -188,6 +188,7 @@ def main():
         best = max(best, fps)
         log(f"rep {r}: {fps:.1f} frames/s ({dt * 1e3 / args.frames:.2f} ms/frame)")
 
+    quality = {}  # diagnostics shipped in the JSON line beside the fps
     if impl in ("pallas", "scan") and not args.no_psnr_cross:
         # Default quality gate: the production kernel against the independent
         # XLA tiled implementation on the first frame — a perf "win" that broke
@@ -205,7 +206,12 @@ def main():
             mvps[:1], vgrid, uvgrid, texture, args.width, args.height, config,
             frame_batch=1))[0]
         cross = psnr(a, b)
-        log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB")
+        flips = float(
+            (np.abs(a.astype(int) - b.astype(int)).max(-1) > 8).mean())
+        quality["cross_psnr_db"] = round(float(cross), 2)
+        quality["cross_flip_frac"] = round(flips, 5)
+        log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB "
+            f"({flips * 100:.2f}% pixels flipped >8 LSB)")
         if impl == "scan" and cross < 30.0:
             # The documented depth-edge winner-flip class floors this
             # comparison near ~33 dB; anything materially below that is a real
@@ -225,7 +231,6 @@ def main():
     # render). Goldens exist for config #1 (VGA/d8 frontal) AND the production
     # headline config (1080p/d10, frontal + mid-sway view 40 of this very
     # 64-frame path) — speed and fidelity ship together in the bench artifact.
-    quality = {}
 
     def unpack1(dev_frames, k=0):
         if impl == "scan":

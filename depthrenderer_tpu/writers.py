@@ -74,10 +74,12 @@ class VideoWriter:
     """Synchronous video writer (reference: ``utils.py:440-484``).
 
     Writes AVI natively (MJPG/DIB, no dependencies). A path ending in ``.mp4``
-    requests H.264 MP4 (BASELINE config #5): frames stream to a temporary AVI
-    and ``cleanup()`` transcodes via ffmpeg; without ffmpeg the AVI is kept (and
-    ``path`` updated) with a warning — reference counterpart:
-    ``render_many.py:76`` libx264.
+    requests MP4 (BASELINE config #5): frames stream to a temporary AVI and
+    ``cleanup()`` converts it — H.264 via ffmpeg when available (reference
+    counterpart: ``render_many.py:76`` libx264), otherwise a native MJPEG
+    remux (:class:`depthrenderer_tpu.video.Mp4File`, byte-identical payloads,
+    no dependencies). If conversion itself fails the AVI is kept (and ``path``
+    updated) with a warning.
     """
 
     def __init__(self, path, size, fps=24, codec="MJPG", quality=92):
@@ -101,13 +103,14 @@ class VideoWriter:
             from .utils import log
             from .video import convert_to_mp4
 
-            out = convert_to_mp4(self._avi_path, self._mp4_target)
-            if out is None:
+            try:
+                convert_to_mp4(self._avi_path, self._mp4_target)
+            except Exception as e:
                 fallback = self._mp4_target[:-4] + ".avi"
                 os.replace(self._avi_path, fallback)
                 self.path = fallback
-                log(f"ffmpeg not found: kept AVI output at {fallback} instead "
-                    f"of {self._mp4_target}")
+                log(f"MP4 conversion failed ({e}): kept AVI output at "
+                    f"{fallback} instead of {self._mp4_target}")
             self._mp4_target = None
 
 

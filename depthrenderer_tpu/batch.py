@@ -245,13 +245,9 @@ def main(argv=None):
 def _postprocess(args, video_sources, model_names, image_name, out_w, out_h):
     if args.no_post:
         return
-    # The native (numpy) backend decodes only the in-house AVI container; MP4
-    # sources require the ffmpeg backend (ffmpeg must exist for them anyway).
-    backend = "ffmpeg" if args.container == "mp4" else "auto"
-    if backend == "ffmpeg" and not postprocess.ffmpeg_available():
-        log("ffmpeg not found: skipping mosaic/concat/paired post-processing "
-            "(mp4 container was requested).")
-        return
+    # Both containers decode natively (video.read_video_frames dispatches
+    # AVI/MP4); ffmpeg, when present, is still preferred for H.264 output.
+    backend = "auto"
     postprocess.create_mosaic_video(video_sources,
                                     os.path.join(args.output_path, "mosaic"),
                                     image_name, (out_h, out_w), fps=args.fps,

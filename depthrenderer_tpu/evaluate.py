@@ -71,11 +71,12 @@ def masked_psnr(a, b, depth=None, threshold=16, dilate=3, max_value=255.0):
 
 
 def compare_videos(path_a, path_b, depth=None, threshold=16, dilate=3):
-    """Per-frame masked PSNR between two AVI files. Returns a list of dB values."""
-    from .video import read_avi_frames
+    """Per-frame masked PSNR between two videos (AVI or MP4). Returns a list
+    of dB values."""
+    from .video import read_video_frames
 
-    fa = read_avi_frames(path_a)
-    fb = read_avi_frames(path_b)
+    fa = read_video_frames(path_a)
+    fb = read_video_frames(path_b)
     length = min(len(fa), len(fb))
     return [masked_psnr(fa[k], fb[k], depth, threshold, dilate)
             for k in range(length)]

@@ -581,26 +581,51 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (MW, 128), 0).astype(
         jnp.float32)
 
-    def gather_rec(s, plane, canch_f, idx):
-        """rec[s, plane, y, canch_f*128 + idx] as (8, 128) — mod-128
-        subtables over the 128-aligned fetch window."""
-        parts = []
-        for tt in range(CWF // 128):
-            tab = rec_ref[
-                s, plane, :,
-                pl.ds(pl.multiple_of((canch_f + tt) * 128, 128), 128),
-            ]
-            parts.append(tab)
-        idc = jnp.clip(idx, 0, CWF - 1)
-        sub = jnp.clip(idc, 0, 127)
-        g = jnp.take_along_axis(parts[0], sub, axis=1)
-        for tt in range(1, CWF // 128):
-            subt = jnp.clip(idc - tt * 128, 0, 127)
-            g = jnp.where(
-                idc >= tt * 128,
-                jnp.take_along_axis(parts[tt], subt, axis=1), g
-            )
-        return g
+    def gather_rec(s, plane, canch_f, idx, base):
+        """rec[s, plane, y, canch_f*128 + idx] as (8, 128) via TWO 128-lane
+        subtables at the dynamically chosen 128-aligned ``base`` (round 3:
+        a block's hit columns span ~cells_per_block << CWF, so 2 dynamic
+        subtables replace the CWF//128 static ones — at big_grid's CWF=1024
+        that is 8 static gathers+selects per plane fetch).
+
+        ``base`` is per-march-hypothesis (min hit column >> 7, clamped);
+        indices outside its 256-lane window clamp to its edge — a mis-fetch
+        only for hit spans > 256 columns (extreme folds; the fetched record
+        still only ADDS exact-tested candidate cells, never false coverage,
+        so the failure mode is a missed candidate in the already-compromised
+        fold class)."""
+        if CWF // 128 < 4:
+            # Measured (round 3, cw=256/CWF=384): the static per-128 subtable
+            # chain beats two dynamically-offset lane slices by ~1 ms/frame —
+            # Mosaic lowers a dynamic lane offset to per-lane shuffles. Keep
+            # static below 4 subtables; go dynamic only where the static chain
+            # would be long (big_grid CWF>=1024: 8 gathers+selects/plane).
+            parts = []
+            for tt in range(CWF // 128):
+                parts.append(rec_ref[
+                    s, plane, :,
+                    pl.ds(pl.multiple_of((canch_f + tt) * 128, 128), 128),
+                ])
+            idc = jnp.clip(idx, 0, CWF - 1)
+            g = jnp.take_along_axis(parts[0], jnp.clip(idc, 0, 127), axis=1)
+            for tt in range(1, CWF // 128):
+                subt = jnp.clip(idc - tt * 128, 0, 127)
+                g = jnp.where(
+                    idc >= tt * 128,
+                    jnp.take_along_axis(parts[tt], subt, axis=1), g
+                )
+            return g
+        idc = jnp.clip(idx - base * 128, 0, 255)
+        t0 = rec_ref[s, plane, :,
+                     pl.ds(pl.multiple_of((canch_f + base) * 128, 128), 128)]
+        t1 = rec_ref[s, plane, :,
+                     pl.ds(pl.multiple_of((canch_f + base + 1) * 128, 128),
+                           128)]
+        g = jnp.take_along_axis(t0, jnp.clip(idc, 0, 127), axis=1)
+        return jnp.where(
+            idc >= 128,
+            jnp.take_along_axis(t1, jnp.clip(idc - 128, 0, 127), axis=1), g
+        )
 
     def march_block(blk, _):
         canch_m = canch_ref[t, blk] * 8        # march anchor, 8-col aligned
@@ -627,8 +652,10 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             """Exact-test the records picked by an (8, 128) march hypothesis."""
             jf = jnp.clip(o_idx, 0.0, jnp.float32(MW - 1))
             j_i = jf.astype(jnp.int32) + off_f  # fetch-window col
+            base = jnp.clip(jnp.min(j_i) >> 7, 0, max(CWF // 128 - 2, 0))
             return lambda best_in, s: _exact_record(
-                best_in, s, j_i, canch_f, cgf - off_f.astype(jnp.float32),
+                best_in, s, j_i, base, canch_f,
+                cgf - off_f.astype(jnp.float32),
                 qx, qy_col, gather_rec, m2r, m3r, config, width, height, w0f,
                 inv_ncm1, inv_nrm1, n_r, n_c,
             )
@@ -651,27 +678,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             # one scalar reduce skips all of it.
             any_rec = jnp.min(zc_t) < jnp.float32(_FAR * 0.5)
 
-            def slot_body(best_in, s=s, sxc_t=sxc_t, zc_t=zc_t):
-                hyp1 = []
-                counts = []
-                for y in range(8):
-                    c = sxc_t[:, y : y + 1]          # (CW, 1)
-                    zz = zc_t[:, y : y + 1]
-                    f = c - (qx[y : y + 1, :])       # (CW, 128) row y's qx ramp
-                    f2 = pltpu.roll(f, MW - 1, 0)
-                    hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
-                    key = jnp.where(hit, zz, _FAR)
-                    m1 = jnp.min(key, axis=0, keepdims=True)
-                    o1 = jnp.min(
-                        jnp.where(key == m1, iota_cw, jnp.float32(MW)),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    hyp1.append(o1)
-                    if config.hyps == 2:
-                        counts.append(jnp.sum(
-                            jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True))
-                h1 = jnp.concatenate(hyp1, axis=0)   # (8, 128)
+            def _march_tail(best_in, s, h1, cnt_acc,
+                            sxc_t=sxc_t, zc_t=zc_t):
+                """Exact pass for hypothesis 1 + gated 2nd-hypothesis pass."""
                 if phases == "march_only":  # profiling: skip fetch+exact
                     return (jnp.minimum(best_in[0], h1),) + best_in[1:]
                 best_out = march_one(h1)(best_in, s)
@@ -681,7 +690,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                     # without any (the vast majority) skip the second fetch +
                     # exact pass entirely; fold blocks recompute the march
                     # terms (cheap relative to the pass they gate).
-                    multi = jnp.max(jnp.concatenate(counts, axis=0)) > 1.5
+                    multi = jnp.max(cnt_acc) > 1.5
 
                     def hyp2_body(b, s=s, sxc_t=sxc_t, zc_t=zc_t):
                         hyp2 = []
@@ -711,6 +720,105 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                         multi, hyp2_body, lambda b: b, best_out
                     )
                 return best_out
+
+            def slot_body(best_in, s=s, sxc_t=sxc_t, zc_t=zc_t,
+                          _march_tail=_march_tail):
+                if MW // 128 < 4:
+                    # Measured (round 3, cw=256 -> 2 chunks): the per-chunk
+                    # lax.cond gate costs more than it saves when the active
+                    # region spans most chunks anyway — the dense march is
+                    # ~1 ms/frame faster at the production config. Chunk+gate
+                    # only where the window is wide (big_grid: 7-8 chunks,
+                    # typically 1 active).
+                    hyp1 = []
+                    counts = []
+                    for y in range(8):
+                        c = sxc_t[:, y : y + 1]          # (MW, 1)
+                        zz = zc_t[:, y : y + 1]
+                        f = c - (qx[y : y + 1, :])       # (MW, 128)
+                        f2 = pltpu.roll(f, MW - 1, 0)
+                        hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
+                        key = jnp.where(hit, zz, _FAR)
+                        m1 = jnp.min(key, axis=0, keepdims=True)
+                        o1 = jnp.min(
+                            jnp.where(key == m1, iota_cw, jnp.float32(MW)),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        hyp1.append(o1)
+                        if config.hyps == 2:
+                            counts.append(jnp.sum(
+                                jnp.where(hit, 1.0, 0.0), axis=0,
+                                keepdims=True))
+                    h1 = jnp.concatenate(hyp1, axis=0)   # (8, 128)
+                    cnt_acc = (jnp.concatenate(counts, axis=0)
+                               if config.hyps == 2 else None)
+                    return _march_tail(best_in, s, h1, cnt_acc)
+                # Chunked gated march (round 3): the dense (MW x 128) sign
+                # test runs per 128-column chunk behind a scalar
+                # range-intersection gate — a chunk whose real crossing-x
+                # range misses the block's qx span has no true bracket pair
+                # and is skipped (the anchor centres the active ~90-cell
+                # region in ONE chunk, so typically 1 of MW/128 chunks runs).
+                # The 64-px left slack keeps the (real, FAR) silhouette pair
+                # class: a record left of the block can own stretched cells
+                # reaching into it even with no crossing inside the block.
+                qx0 = (blk * 128).astype(jnp.float32) + 0.5
+                qx1 = qx0 + 127.0
+                m1_acc = jnp.full((8, 128), _FAR, jnp.float32)
+                o1_acc = jnp.full((8, 128), jnp.float32(MW), jnp.float32)
+                cnt_acc = jnp.zeros((8, 128), jnp.float32)
+                for m in range(MW // 128):
+                    lo = m * 128
+                    L = 136 if m < MW // 128 - 1 else 128
+                    sub = sxc_t[lo : lo + L]          # (L, 8)
+                    subz = zc_t[lo : lo + L]
+                    real = sub < jnp.float32(_FAR * 0.5)
+                    cmin = jnp.min(sub)
+                    cmax = jnp.max(jnp.where(real, sub, jnp.float32(-_FAR)))
+                    gate = (cmin <= qx1) & (cmax >= qx0 - 64.0)
+                    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0)
+                    pmask = iota_l < (128 if L == 136 else 127)
+                    iota_lf = iota_l.astype(jnp.float32)
+
+                    def chunk_body(carry, sub=sub, subz=subz, pmask=pmask,
+                                   iota_lf=iota_lf, lo=lo, L=L):
+                        m1_a, o1_a, cnt_a = carry
+                        m1s, o1s, cnts = [], [], []
+                        for y in range(8):
+                            c = sub[:, y : y + 1]     # (L, 1)
+                            zz = subz[:, y : y + 1]
+                            f = c - (qx[y : y + 1, :])  # (L, 128)
+                            f2 = pltpu.roll(f, L - 1, 0)
+                            hit = (f * f2 <= 0.0) & pmask
+                            key = jnp.where(hit, zz, _FAR)
+                            m1 = jnp.min(key, axis=0, keepdims=True)
+                            o1 = jnp.min(
+                                jnp.where(key == m1, iota_lf, jnp.float32(L)),
+                                axis=0, keepdims=True,
+                            )
+                            m1s.append(m1)
+                            o1s.append(o1)
+                            if config.hyps == 2:
+                                cnts.append(jnp.sum(
+                                    jnp.where(hit, 1.0, 0.0), axis=0,
+                                    keepdims=True))
+                        m1_c = jnp.concatenate(m1s, axis=0)   # (8, 128)
+                        o1_c = jnp.concatenate(o1s, axis=0) + jnp.float32(lo)
+                        better = m1_c < m1_a  # strict: earlier chunk keeps ties
+                        m1_a = jnp.where(better, m1_c, m1_a)
+                        o1_a = jnp.where(better, o1_c, o1_a)
+                        if config.hyps == 2:
+                            cnt_a = cnt_a + jnp.concatenate(cnts, axis=0)
+                        return m1_a, o1_a, cnt_a
+
+                    m1_acc, o1_acc, cnt_acc = jax.lax.cond(
+                        gate, chunk_body, lambda c: c,
+                        (m1_acc, o1_acc, cnt_acc))
+                # o1_acc holds global window columns already
+                return _march_tail(
+                    best_in, s, o1_acc,
+                    cnt_acc if config.hyps == 2 else None)
 
             best = jax.lax.cond(any_rec, slot_body, lambda b: b, best)
 
@@ -788,6 +896,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
 
         zero = jnp.zeros((8, 128), jnp.int32)
         nsub_t = TXW // 128
+        # (Round-3 note: a per-row-block occupancy gate — jnp.any + lax.cond
+        # per 8-row block — was measured 0.57 ms/frame SLOWER than scanning
+        # rlo..rhi unconditionally; the cond breaks the row-loop pipeline.)
 
         def tex_row_body(rb, taps):
             c00, c01, c10, c11 = taps
@@ -866,9 +977,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
         out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)
 
 
-def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m2r, m3r,
-                  config: ScanConfig, width, height, w0f, inv_ncm1, inv_nrm1,
-                  n_r, n_c):
+def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
+                  m2r, m3r, config: ScanConfig, width, height, w0f,
+                  inv_ncm1, inv_nrm1, n_r, n_c):
     """Fetch record s@j and its right neighbour, realign, run the exact
     edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
     winner carry (min z, ties to lowest triangle id)."""
@@ -876,14 +987,14 @@ def _exact_record(best, s, j_i, canch, cgf, qx, qy_col, gather_rec, m2r, m3r,
     j1 = j_i
     j2 = j_i + 1
 
-    bw1 = gather_rec(s, 2, canch, j1)
-    bw2 = gather_rec(s, 2, canch, j2)
+    bw1 = gather_rec(s, 2, canch, j1, base)
+    bw2 = gather_rec(s, 2, canch, j2, base)
     strip1 = [
-        tuple(gather_rec(s, 3 + j * 3 + v, canch, j1) for v in range(3))
+        tuple(gather_rec(s, 3 + j * 3 + v, canch, j1, base) for v in range(3))
         for j in range(SR)
     ]
     strip2 = [
-        tuple(gather_rec(s, 3 + j * 3 + v, canch, j2) for v in range(3))
+        tuple(gather_rec(s, 3 + j * 3 + v, canch, j2, base) for v in range(3))
         for j in range(SR)
     ]
 

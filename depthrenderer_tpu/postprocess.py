@@ -20,12 +20,18 @@ from pathlib import Path
 import numpy as np
 
 from .utils import log
-from .video import AviFile, ffmpeg_available, read_avi_frames, read_avi_info
+from .video import (ffmpeg_available, open_video_writer, read_video_frames,
+                    read_video_info)
 
 
 def _grid_shape(num_sources, num_rows=2):
     num_cols = -(-num_sources // num_rows)
     return num_rows, num_cols
+
+
+def _container_ext(video_sources):
+    """Native outputs keep the sources' container (both are first-class)."""
+    return ".mp4" if str(video_sources[0]).lower().endswith(".mp4") else ".avi"
 
 
 def create_mosaic_video(video_sources, output_path, name, source_shape,
@@ -36,7 +42,6 @@ def create_mosaic_video(video_sources, output_path, name, source_shape,
     :return: the output video path.
     """
     os.makedirs(output_path, exist_ok=True)
-    out = os.path.join(output_path, f"{name}.avi")
     num_rows, num_cols = _grid_shape(len(video_sources))
 
     output_width = source_shape[1] * num_cols
@@ -46,20 +51,23 @@ def create_mosaic_video(video_sources, output_path, name, source_shape,
     output_height = int(output_width / aspect)
 
     if backend == "ffmpeg" or (backend == "auto" and ffmpeg_available()):
+        out = os.path.join(output_path, f"{name}.avi")
         _ffmpeg_mosaic(video_sources, out, (output_width, output_height),
                        num_rows, num_cols)
         return out
 
+    out = os.path.join(output_path, f"{name}{_container_ext(video_sources)}")
     cell_w = output_width // num_cols
     cell_h = output_height // num_rows
-    decoded = [read_avi_frames(src) for src in video_sources]
+    decoded = [read_video_frames(src) for src in video_sources]
     if fps is None:
-        _, _, _, fps = read_avi_info(video_sources[0])
+        _, _, _, fps = read_video_info(video_sources[0])
     length = min(len(f) for f in decoded)
 
     from .io import resize
 
-    with AviFile(out, (cell_w * num_cols, cell_h * num_rows), fps=fps) as writer:
+    with open_video_writer(out, (cell_w * num_cols, cell_h * num_rows),
+                           fps=fps) as writer:
         for t in range(length):
             canvas = np.zeros((cell_h * num_rows, cell_w * num_cols, 3), np.uint8)
             for i, frames in enumerate(decoded):
@@ -74,9 +82,9 @@ def create_mosaic_video(video_sources, output_path, name, source_shape,
 def create_concat_video(video_sources, output_path, name, backend="auto"):
     """Concatenate source videos end to end (``render_many.py:100-115``)."""
     os.makedirs(output_path, exist_ok=True)
-    out = os.path.join(output_path, f"{name}.avi")
 
     if backend == "ffmpeg" or (backend == "auto" and ffmpeg_available()):
+        out = os.path.join(output_path, f"{name}.avi")
         tmp = os.path.join(output_path, "tmp.txt")
         with open(tmp, "w") as f:
             # The concat demuxer's own quoting: single quotes with '\'' escapes.
@@ -91,10 +99,11 @@ def create_concat_video(video_sources, output_path, name, backend="auto"):
         os.remove(tmp)
         return out
 
-    w, h, _, fps = read_avi_info(video_sources[0])
-    with AviFile(out, (w, h), fps=fps) as writer:
+    out = os.path.join(output_path, f"{name}{_container_ext(video_sources)}")
+    w, h, _, fps = read_video_info(video_sources[0])
+    with open_video_writer(out, (w, h), fps=fps) as writer:
         for src in video_sources:
-            for frame in read_avi_frames(src):
+            for frame in read_video_frames(src):
                 writer.write(frame)
     log(f"Wrote concat video {out}")
     return out
@@ -125,20 +134,21 @@ def create_paired_videos(video_sources, output_path, name, model_names,
 
     outputs = []
     use_ffmpeg = backend == "ffmpeg" or (backend == "auto" and ffmpeg_available())
-    gt_frames = None if use_ffmpeg else read_avi_frames(ground_truth_src)
+    gt_frames = None if use_ffmpeg else read_video_frames(ground_truth_src)
+    ext = ".avi" if use_ffmpeg else _container_ext([ground_truth_src])
 
     for model_name, video_source in zip(model_names, video_sources):
-        paired = os.path.join(output_path, f"ground_truth-{model_name}.avi")
+        paired = os.path.join(output_path, f"ground_truth-{model_name}{ext}")
         if use_ffmpeg:
             cmd = ["ffmpeg", "-i", str(ground_truth_src), "-i", str(video_source),
                    "-filter_complex", "hstack", paired, "-y"]
             log(" ".join(cmd))
             subprocess.run(cmd, check=True)
         else:
-            frames = read_avi_frames(video_source)
-            w, h, _, fps = read_avi_info(video_source)
+            frames = read_video_frames(video_source)
+            w, h, _, fps = read_video_info(video_source)
             length = min(len(gt_frames), len(frames))
-            with AviFile(paired, (2 * w, h), fps=fps) as writer:
+            with open_video_writer(paired, (2 * w, h), fps=fps) as writer:
                 for t in range(length):
                     writer.write(np.concatenate([gt_frames[t], frames[t]], axis=1))
             log(f"Wrote paired video {paired}")

@@ -63,6 +63,29 @@ def convert_to_mp4(avi_path, mp4_path=None, remove_source=True, crf=18):
     return str(mp4_path)
 
 
+def read_video_frames(path):
+    """Decode all frames of a video by container (``.mp4`` → :func:`read_mp4_frames`,
+    else :func:`read_avi_frames`). Returns top-down (H, W, 3) uint8 RGB frames."""
+    if str(path).lower().endswith(".mp4"):
+        return read_mp4_frames(path)
+    return read_avi_frames(path)
+
+
+def read_video_info(path):
+    """(width, height, frames, fps) of a video by container."""
+    if str(path).lower().endswith(".mp4"):
+        return read_mp4_info(path)
+    return read_avi_info(path)
+
+
+def open_video_writer(path, size, fps=24.0, **kw):
+    """Open the native writer matching ``path``'s container
+    (:class:`Mp4File` for ``.mp4``, else :class:`AviFile`)."""
+    if str(path).lower().endswith(".mp4"):
+        return Mp4File(path, size, fps=fps, **kw)
+    return AviFile(path, size, fps=fps, **kw)
+
+
 def _fourcc(code: str) -> bytes:
     assert len(code) == 4
     return code.encode("ascii")

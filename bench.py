@@ -189,7 +189,19 @@ def main():
         log(f"rep {r}: {fps:.1f} frames/s ({dt * 1e3 / args.frames:.2f} ms/frame)")
 
     quality = {}  # diagnostics shipped in the JSON line beside the fps
-    if impl in ("pallas", "scan") and not args.no_psnr_cross:
+    if args.density >= 11 and not args.no_psnr_cross:
+        # At d>=11 the tiled-grid reference is NOT a valid oracle: its
+        # measured_config caps candidate windows at 10240 cells for VMEM,
+        # which at d12 spans only ~96 of the ~137 cell columns a 128-px tile
+        # needs — the GRID render drops ~30% of candidates near tile edges
+        # (forensic: 87% of scan-vs-grid flips at preset 4 are scan-foreground
+        # /grid-background, concentrated at 128-col tile boundaries). The
+        # ground-truth gate at this density is the GL golden below.
+        log("NOTE: skipping the grid cross-check at density >= 11 — the grid "
+            "path's VMEM-capped candidate window is structurally undersized "
+            "there (it drops candidates near tile edges); the quality gate "
+            "is the GL-golden masked PSNR below.")
+    elif impl in ("pallas", "scan") and not args.no_psnr_cross:
         # Default quality gate: the production kernel against the independent
         # XLA tiled implementation on the first frame — a perf "win" that broke
         # rendering shows up here in every bench artifact's diagnostics.
@@ -248,6 +260,21 @@ def main():
             ("frontal", "tests/goldens/gl_sample_d10_1080p_frontal.png"),
             ("sway40", "tests/goldens/gl_sample_d10_1080p_sway40.png"),
         ]
+    elif (args.density, args.width, args.height) == (12, 3840, 2160):
+        # BASELINE config #4. The GL goldens carry no edge culling (GL has
+        # none); the masked PSNR excludes depth-edge neighbourhoods, which is
+        # where culling removes triangles, so the gate stays meaningful.
+        goldens = [
+            ("frontal", "tests/goldens/gl_sample_4k_d12_frontal.png"),
+            ("sway40", "tests/goldens/gl_sample_4k_d12_sway40.png"),
+        ]
+
+    def render_single(mvp):
+        """Render one explicit view, padded to the cached frame-group shape."""
+        reps = max(1, min(args.frame_batch, args.frames))
+        return render(jnp.asarray(
+            np.repeat(np.asarray(mvp, np.float32)[None], reps, axis=0)))
+
     frontal_dev = None
     for view, path in goldens:
         if not os.path.exists(path):
@@ -263,12 +290,17 @@ def main():
             # translation), so render identity-view frames for this one. Pad
             # to the frame group so the cached kernel shape is reused.
             if frontal_dev is None:
-                reps = max(1, min(args.frame_batch, args.frames))
-                frontal_dev = render(jnp.asarray(
-                    np.repeat((proj @ cam)[None], reps, axis=0), jnp.float32))
+                frontal_dev = render_single(proj @ cam)
             f = unpack1(frontal_dev)
         elif view == "sway40" and args.frames > 40:
             f = unpack1(frames, 40)
+        elif view == "sway40":
+            # The golden is view 40 of the canonical 64-frame sway path; this
+            # clip is shorter, so render that view explicitly.
+            sway64 = np.asarray(
+                animation.default_sway(5.0).batch(
+                    animation.frame_times(64, 60.0)))[40]
+            f = unpack1(render_single(proj @ cam @ sway64))
         else:
             continue
         if f.shape != golden.shape:

@@ -174,6 +174,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     not silent. ``cw`` covers a 128-pixel block's own extent in cells plus the
     measured fold spread (~±40 cells at n=1025).
     """
+    rmax_explicit = "rmax" in overrides
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
@@ -205,7 +206,11 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         # Large grids (d11/d12): per-chunk window DMA + curve-free march.
         # Per-chunk row spans stay small (measured max 287 at 4K/d12,
         # experiments/hull_stats), so the default rmax applies per chunk.
-        cfg = dataclasses.replace(cfg, big_grid=True, rmax=min(cfg.rmax, 320))
+        # An explicit rmax override survives the variant switch (it only must
+        # fit big_grid's 9-bit packed bounds, < 512).
+        cfg = dataclasses.replace(
+            cfg, big_grid=True,
+            rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 
 

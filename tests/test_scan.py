@@ -214,3 +214,52 @@ def test_scan_wireframe(checker_texture):
     # Same edge-band semantics as the oracle (tolerant: bands are thin).
     agree = ((wf[..., :3].sum(-1) > 0) == (np.asarray(want)[..., :3].sum(-1) > 0)).mean()
     assert agree > 0.95
+
+
+def test_scan_big_grid_matches_standard(checker_texture):
+    """The big_grid kernel variant (per-chunk window DMA, curve-free march —
+    the BASELINE config #4 path, raster_scan.py big_grid) must reproduce the
+    standard variant's render on a grid both can handle (round-3 VERDICT:
+    the 4K/d12 production path needs CI coverage at tiny scale)."""
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=1)
+    mvp = (
+        mvp @ np.asarray(transforms.rotation(np.deg2rad(4.0), axis=Axis.Y))
+    ).astype(np.float32)
+    W, H = 64, 48
+    import dataclasses
+
+    big = dataclasses.replace(CFG, big_grid=True)
+    got = _render_scan(verts, uvs, mvp, checker_texture.astype(np.float32),
+                       W, H, big)
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H
+    )
+    assert_images_close(got, want, min_psnr=35.0, max_diff_frac=0.02)
+    std = _render_scan(verts, uvs, mvp, checker_texture.astype(np.float32),
+                       W, H, CFG)
+    # Same candidate semantics as the standard variant: near-identical output.
+    assert_images_close(got, std, min_psnr=40.0, max_diff_frac=0.005)
+
+
+def test_scan_edge_cull(checker_texture):
+    """In-kernel edge culling reproduces the oracle's triangle-level model-z
+    spread cull (both reconstruct 3 corner depths; the kernel via the inverse
+    MVP). Note backgrounds are opaque (GL clear alpha = 255), so coverage is
+    compared via RGB, not alpha."""
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=8)
+    mvp = mvp.astype(np.float32)
+    W, H = 64, 48
+    import dataclasses
+
+    # Brighten the checker's dark squares so covered pixels are RGB-nonzero.
+    tex = np.maximum(checker_texture, 32).astype(np.float32)
+    cfg = dataclasses.replace(CFG, edge_cull_threshold=0.5)
+    got = _render_scan(verts, uvs, mvp, tex, W, H, cfg)
+    solid = _render_scan(verts, uvs, mvp, tex, W, H, CFG)
+    cov_culled = (got[..., :3].sum(-1) > 0).mean()
+    cov_solid = (solid[..., :3].sum(-1) > 0).mean()
+    assert cov_culled < cov_solid  # the random-depth scene has stretch to cull
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, np.maximum(checker_texture, 32), W, H,
+        edge_cull_threshold=0.5)
+    assert_images_close(got, want, min_psnr=35.0, max_diff_frac=0.01)

@@ -214,9 +214,16 @@ def main():
                                   args.height)[0]
         else:
             a = np.asarray(frames[0])
+        # Cross-check against the truly LOSSLESS grid (quantile=1.0,
+        # row_anchors=2) — measured_config's defaults (0.995/1) silently
+        # drop ~0.2% of pixels themselves (experiments/flip_forensic.py),
+        # which polluted earlier cross-check numbers.
+        config_ll = measured_config(mvps, np.asarray(vgrid), args.width,
+                                    args.height, quantile=1.0, row_anchors=2,
+                                    edge_cull_threshold=args.edge_cull)
         b = np.asarray(render_frames_grid(
-            mvps[:1], vgrid, uvgrid, texture, args.width, args.height, config,
-            frame_batch=1))[0]
+            mvps[:1], vgrid, uvgrid, texture, args.width, args.height,
+            config_ll, frame_batch=1))[0]
         cross = psnr(a, b)
         flips = float(
             (np.abs(a.astype(int) - b.astype(int)).max(-1) > 8).mean())

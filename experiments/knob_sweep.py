@@ -66,6 +66,9 @@ def main():
 
     def run(tag, **overrides):
         cfg = raster_scan.suggest_scan_config(n, W, H, **overrides)
+        if not raster_scan._vmem_budget_ok(n, cfg):
+            print(f"{tag:>28}: skipped (VMEM budget)", flush=True)
+            return None
         raw = raster_scan.render_frames_scan(
             mvp1, vgrid, uvgrid, tex_dev, W, H, cfg, frame_batch=1,
             raw_u32=True)
@@ -76,13 +79,25 @@ def main():
               f"  ({cfg})", flush=True)
         return flips
 
-    run("production default")
-    run("nbr=3", nbr=3)
-    run("nbr=4", nbr=4)
-    run("dmax=None (full realign)", dmax=None)
-    run("sr=12/off=5", sr=12, off=5)
-    run("cw=384", cw=384)
-    run("all relaxed", nbr=4, dmax=None, sr=12, off=5, cw=384)
+    import traceback
+
+    for tag, ov in [
+        ("production default", {}),
+        ("nbr=3", {"nbr": 3}),
+        ("nbr=4", {"nbr": 4}),
+        ("dmax=None (full realign)", {"dmax": None}),
+        ("sr=12/off=5", {"sr": 12, "off": 5}),
+        ("sr=14/off=6", {"sr": 14, "off": 6}),
+        ("cw=384", {"cw": 384}),
+        ("hyps=1 (cost check)", {"hyps": 1}),
+        ("all relaxed", {"nbr": 3, "dmax": None, "sr": 14, "off": 6,
+                         "cw": 384}),
+    ]:
+        try:
+            run(tag, **ov)
+        except Exception:
+            traceback.print_exc()
+            print(f"{tag:>28}: FAILED", flush=True)
 
 
 if __name__ == "__main__":

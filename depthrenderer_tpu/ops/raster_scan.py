@@ -186,9 +186,17 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     overrides.setdefault("off", 4)
     overrides.setdefault("dmax", 5)
     # 4K outputs spread a block's texture footprint wider; one extra 128-col
-    # page keeps the clamp-to-window outliers as rare as at 1080p.
+    # page keeps the clamp-to-window outliers as rare as at 1080p. At <=1080p
+    # class outputs the measured spreads (tx <= 237, ty <= 118 p-outlier)
+    # clamp only the fold class whose shade error is already bounded — and
+    # 256x64 windows shave a measured 0.8 ms/frame off the shade gathers
+    # (round-3 profile: 3.68 -> 2.87 ms; quality gated by the bench's
+    # GL-golden and lossless-grid cross checks).
     if width > 2048:
         overrides.setdefault("tex_cols", 512)
+    else:
+        overrides.setdefault("tex_cols", 256)
+        overrides.setdefault("tex_rows", 64)
     # The march window anchors on an 8-column grid (sublane alignment of the
     # transposed curve), so cw only needs the span itself: half the block's
     # own extent in cells + the fold/anchor spread (measured -78..+42 cols

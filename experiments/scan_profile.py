@@ -42,7 +42,7 @@ mvp = jnp.asarray(
     (proj @ cam @ np.asarray(sway.transform_at(1.0))).astype(np.float32))
 
 _ov = {}
-for k in ("nbr", "hyps", "sr", "rmax", "cw", "off"):
+for k in ("nbr", "hyps", "sr", "rmax", "cw", "off", "tex_cols", "tex_rows"):
     if os.environ.get(k.upper()):
         _ov[k] = int(os.environ[k.upper()])
 scfg = raster_scan.suggest_scan_config(n, W, H, **_ov)

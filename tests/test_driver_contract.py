@@ -32,7 +32,10 @@ def test_bench_prints_one_json_line():
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"expected exactly one stdout line, got: {lines}"
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # The canonical driver keys must be present; extra diagnostic keys
+    # (impl, quality PSNRs) ship beside them so speed and fidelity stay in
+    # one artifact.
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
     assert rec["unit"] == "frames/s"
 

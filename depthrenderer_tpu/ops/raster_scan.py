@@ -158,10 +158,11 @@ def _vmem_budget_ok(grid_n: int, cfg: ScanConfig) -> bool:
         win_bytes = 3 * cfg.rmax * 128 * 4
         tex_bytes = cfg.tex_rows * cfg.tex_cols * 4
         return win_bytes + rec_bytes + tex_bytes < 10 * 2**20
-    # Standard variant: the round-2 validated budget (curve scratch and
-    # texture window ride in the measured headroom at d10).
-    win_bytes = 3 * cfg.rmax * cl * 4
-    return win_bytes + rec_bytes < 9 * 2**20
+    # Standard variant: DOUBLE-buffered band window (round 3) + records +
+    # curve scratch must fit ~16 MB VMEM with compiler headroom.
+    win_bytes = 2 * 3 * cfg.rmax * cl * 4
+    curve_bytes = cfg.nbr * 2 * cl * 8 * 4
+    return win_bytes + rec_bytes + curve_bytes < 13 * 2**20
 
 
 def suggest_scan_config(grid_n: int, width: int, height: int,
@@ -411,12 +412,56 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
     w0 = w0_ref[t, i] * 8  # in 8-row units: provably tile-aligned offset
 
-    if not config.big_grid:  # big_grid DMAs per chunk inside solve_chunk
-        copy = pltpu.make_async_copy(
-            win_hbm.at[t, :, pl.ds(w0, config.rmax), :], win_ref, sem.at[0]
-        )
-        copy.start()
-        copy.wait()
+    # Double-buffered window prefetch (round 3): the band window DMA
+    # (~4.4 MB/band at d10/1080p) used to run start();wait() serially with
+    # the band's compute; now step g waits on the copy step g-1 started and
+    # prefetches step g+1 into the other half. The two buffers are folded
+    # into the scratch's ROW dimension ((3, 2*rmax, CL), parity row offset
+    # in 8-row tile units) so reads use the same provably-8-aligned dynamic
+    # slicing the window origin already relies on — no dynamic leading-dim
+    # indexing, no dynamic semaphore indexing (parity is branched with
+    # pl.when on static buffer ids).
+    if not config.big_grid:
+        nb = pl.num_programs(1)
+        nt = pl.num_programs(0)
+        g = t * nb + i  # global step; nb is odd at 1080p so parity alternates
+        par0 = jax.lax.rem(g, 2) == 0
+        win_row0 = jnp.where(par0, 0, config.rmax // 8)  # in 8-row units
+
+        def win_copy(tt, ii, buf):
+            return pltpu.make_async_copy(
+                win_hbm.at[tt, :, pl.ds(w0_ref[tt, ii] * 8, config.rmax), :],
+                win_ref.at[:, pl.ds(buf * config.rmax, config.rmax), :],
+                sem.at[buf],
+            )
+
+        @pl.when(g == 0)  # the very first step owns buffer 0
+        def _():
+            win_copy(t, i, 0).start()
+
+        gn = g + 1
+        has_next = gn < nt * nb
+        tn = gn // nb
+        inx = gn - tn * nb
+        tn = jnp.minimum(tn, nt - 1)  # clamp: the when-guard skips the copy
+
+        @pl.when(has_next & par0)
+        def _():
+            win_copy(tn, inx, 1).start()
+
+        @pl.when(has_next & jnp.logical_not(par0))
+        def _():
+            win_copy(tn, inx, 0).start()
+
+        @pl.when(par0)
+        def _():
+            win_copy(t, i, 0).wait()
+
+        @pl.when(jnp.logical_not(par0))
+        def _():
+            win_copy(t, i, 1).wait()
+    else:
+        win_row0 = jnp.int32(0)
 
     nchunks = cl // 128
 
@@ -440,9 +485,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
         """Window rows 8b..8b+7 of channel v as (8, 128)."""
         if config.big_grid:  # the window scratch holds only this chunk
             return win_ref[v, pl.ds(b * 8, 8), :].reshape(8, 128)
-        return win_ref[v, pl.ds(b * 8, 8), pl.ds(chunk * 128, 128)].reshape(
-            8, 128
-        )
+        return win_ref[v, pl.ds((win_row0 + b) * 8, 8),
+                       pl.ds(chunk * 128, 128)].reshape(8, 128)
 
     def solve_chunk(chunk, _):
         bnd = bounds_ref[t, i * nchunks + chunk]
@@ -888,7 +932,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
 
         tcopy = pltpu.make_async_copy(
             tex_hbm.at[pl.ds(tyb * 8, TR), pl.ds(txb * 128, TXW)],
-            texw_ref, sem.at[1],
+            texw_ref, sem.at[2],
         )
         tcopy.start()
         tcopy.wait()
@@ -1200,13 +1244,14 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((3, config.rmax, 128 if config.big_grid else cl),
-                        jnp.float32),
+            # standard mode: 2x rmax rows = the double-buffered band window
+            [pltpu.VMEM((3, config.rmax, 128) if config.big_grid
+                        else (3, 2 * config.rmax, cl), jnp.float32),
              pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32)]
             + ([] if config.big_grid
                else [pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32)])
             + [pltpu.VMEM((config.tex_rows, config.tex_cols), jnp.uint32),
-               pltpu.SemaphoreType.DMA((2,))]
+               pltpu.SemaphoreType.DMA((3,))]
         ),
     )
     kernel = functools.partial(
@@ -1222,6 +1267,13 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
         # kernel hash (and its compiled cache entries) stay untouched.
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=30 * 1024 * 1024)
+    elif not interpret:
+        # The double-buffered band window (round 3) lifts the standard
+        # variant's total scoped allocation to 16.06 MB at 1080p/d10 — just
+        # past the 16 MB default; 20 MB covers it with headroom (v5e VMEM is
+        # 128 MB; the 30 MB big_grid setting is already hardware-validated).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -54,6 +54,12 @@ def main():
                     help="Preset 5: number of scenes (full scale: 256).")
     ap.add_argument("--farm-views", type=int, default=16,
                     help="Preset 5: views per scene (full scale: 128).")
+    ap.add_argument("--scan-overrides", type=str, default=None,
+                    help="Comma-separated ScanConfig overrides for knob A/Bs, "
+                         "e.g. 'sr=8,off=3,dmax=3' (ints; 'none' -> None). "
+                         "Forwarded to suggest_scan_config; the quality "
+                         "diagnostics print beside the fps so speed/fidelity "
+                         "trade-offs are recorded together.")
     ap.add_argument("--impl", choices=("auto", "pallas", "xla", "scan"),
                     default="auto",
                     help="Rasteriser implementation: auto = the tiled Pallas "
@@ -159,8 +165,15 @@ def main():
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
                                                        suggest_scan_config)
 
+        overrides = {}
+        if args.scan_overrides:
+            for kv in args.scan_overrides.split(","):
+                k, v = kv.split("=")
+                overrides[k.strip()] = (None if v.strip().lower() == "none"
+                                        else int(v))
         scan_cfg = suggest_scan_config(n, args.width, args.height,
-                                       edge_cull_threshold=args.edge_cull)
+                                       edge_cull_threshold=args.edge_cull,
+                                       **overrides)
         log(f"scan config: {scan_cfg}")
         render = lambda m: render_frames_scan(  # noqa: E731
             m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,

@@ -156,7 +156,7 @@ def _vmem_budget_ok(grid_n: int, cfg: ScanConfig) -> bool:
         # No curve scratch; window is one 128-column chunk. The record table
         # is the dominant term (8.9 MB at d12/sr=10).
         win_bytes = 3 * cfg.rmax * 128 * 4
-        tex_bytes = cfg.tex_rows * cfg.tex_cols * 4
+        tex_bytes = 2 * cfg.tex_rows * cfg.tex_cols * 4  # double-buffered
         return win_bytes + rec_bytes + tex_bytes < 10 * 2**20
     # Standard variant: DOUBLE-buffered band window (round 3) + records +
     # curve scratch must fit ~16 MB VMEM with compiler headroom.
@@ -388,13 +388,14 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                  mode: str, debug_records: bool = False, phases: str = "all"):
     curve_ref = None
     if debug_records and config.big_grid:
-        out_ref, dbg_ref, win_ref, rec_ref, texw_ref, sem = refs
+        out_ref, dbg_ref, win_ref, rec_ref, attrs_ref, texw_ref, sem = refs
     elif debug_records:
-        out_ref, dbg_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
+        (out_ref, dbg_ref, win_ref, rec_ref, curve_ref, attrs_ref, texw_ref,
+         sem) = refs
     elif config.big_grid:
-        out_ref, win_ref, rec_ref, texw_ref, sem = refs
+        out_ref, win_ref, rec_ref, attrs_ref, texw_ref, sem = refs
     else:
-        out_ref, win_ref, rec_ref, curve_ref, texw_ref, sem = refs
+        out_ref, win_ref, rec_ref, curve_ref, attrs_ref, texw_ref, sem = refs
     """One grid step per 8-pixel-row band: DMA the hull row window, solve the
     column crossings into self-contained records, then march + exact-test each
     128-pixel block.
@@ -902,51 +903,102 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                 out_ref[0, 0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
             return 0
 
-        # ---------------- in-kernel shade (texture gather + bilerp) --------
-        # Replaces the XLA quad-packed take (measured ~12.6 ms/frame: TPU
-        # gathers cost ~6 ns per lookup in XLA). Per block: DMA the texture
-        # window covering the block's (measured-small) uv footprint, then an
-        # aligned 8-row loop with lane-dim subtable gathers. Pixels whose
-        # footprint exceeds the window clamp to its edge (rare fold outliers).
+        # ------------- pass-1 shade attrs capture (two-pass shade) ---------
+        # The bilinear shade runs in a SECOND block loop after the march (see
+        # _shade_pass below) so its per-block texture-window DMA can double-
+        # buffer: block b+1's copy starts (origin from this scratch) while
+        # block b's gathers run, hiding the previously serial start();wait()
+        # (~0.65 ms/frame of exposed copy at 64x256 windows, 2025 blocks).
         if mode == "wireframe":
             covw = cov & (bml <= common.WIREFRAME_EDGE_THRESHOLD)
         else:
             covw = cov
-        TR, TXW = config.tex_rows, config.tex_cols
         tx = jnp.clip(u * wt - 0.5, 0.0, wt - 1.0)
         ty = jnp.clip((1.0 - v) * ht - 0.5, 0.0, ht - 1.0)
         ix = jnp.floor(tx)
         iy = jnp.floor(ty)
-        fx = tx - ix
-        fy = ty - iy
-        ixi = ix.astype(jnp.int32)
-        iyi = iy.astype(jnp.int32)
-        big = jnp.int32(1 << 20)
-        iy_sel = jnp.where(covw, iyi, big)
-        ty_min = jnp.min(iy_sel)
-        tyb = jnp.clip(ty_min // 8, 0, max(_ceil_to(ht, 8) // 8 - TR // 8, 0))
-        ix_sel = jnp.where(covw, ixi, big)
-        tx_min = jnp.min(ix_sel)
-        wtp = tex_hbm.shape[1]
-        txb = jnp.clip(tx_min // 128, 0, max(wtp // 128 - TXW // 128, 0))
+        attrs_ref[0, :, xsl] = ix
+        attrs_ref[1, :, xsl] = iy
+        attrs_ref[2, :, xsl] = tx - ix
+        attrs_ref[3, :, xsl] = ty - iy
+        attrs_ref[4, :, xsl] = jnp.where(covw, 1.0, 0.0)
+        attrs_ref[5, :, xsl] = zm
+        return 0
 
-        tcopy = pltpu.make_async_copy(
+    # ---------------- pass 2: shade (texture gather + bilerp) -------------
+    # Replaces the XLA quad-packed take (measured ~12.6 ms/frame: TPU gathers
+    # cost ~6 ns per lookup in XLA). Per block: DMA the texture window
+    # covering the block's (measured-small) uv footprint, then an aligned
+    # 8-row loop with lane-dim subtable gathers. Pixels whose footprint
+    # exceeds the window clamp to its edge (rare fold outliers). Round 3:
+    # runs as a second block loop with DOUBLE-BUFFERED windows — block b+1's
+    # copy (origin read from the pass-1 attrs scratch) overlaps block b's
+    # gathers; buffer parity rides the texw row axis in 8-row tile units.
+    TR, TXW = config.tex_rows, config.tex_cols
+    wtp = tex_hbm.shape[1]
+    nblk = wl // 128
+    bigv = jnp.int32(1 << 20)
+
+    def _tex_origin(blk):
+        xsl = pl.ds(blk * 128, 128)
+        ixi = attrs_ref[0, :, xsl].astype(jnp.int32)
+        iyi = attrs_ref[1, :, xsl].astype(jnp.int32)
+        covw = attrs_ref[4, :, xsl] > 0.5
+        ty_min = jnp.min(jnp.where(covw, iyi, bigv))
+        tyb = jnp.clip(ty_min // 8, 0, max(_ceil_to(ht, 8) // 8 - TR // 8, 0))
+        tx_min = jnp.min(jnp.where(covw, ixi, bigv))
+        txb = jnp.clip(tx_min // 128, 0, max(wtp // 128 - TXW // 128, 0))
+        return tyb, txb
+
+    def _tex_copy(tyb, txb, buf):
+        return pltpu.make_async_copy(
             tex_hbm.at[pl.ds(tyb * 8, TR), pl.ds(txb * 128, TXW)],
-            texw_ref, sem.at[2],
+            texw_ref.at[pl.ds(buf * TR, TR), :],
+            sem.at[2 + buf],
         )
-        tcopy.start()
-        tcopy.wait()
+
+    def shade_block(blk, carry):
+        tyb_c, txb_c = carry
+        xsl = pl.ds(blk * 128, 128)
+        ixi = attrs_ref[0, :, xsl].astype(jnp.int32)
+        iyi = attrs_ref[1, :, xsl].astype(jnp.int32)
+        fx = attrs_ref[2, :, xsl]
+        fy = attrs_ref[3, :, xsl]
+        covw = attrs_ref[4, :, xsl] > 0.5
+        zm = attrs_ref[5, :, xsl]
+
+        tyb_n, txb_n = _tex_origin(jnp.minimum(blk + 1, nblk - 1))
+        par0 = jax.lax.rem(blk, 2) == 0
+        has_next = blk + 1 < nblk
+
+        @pl.when(has_next & par0)
+        def _():
+            _tex_copy(tyb_n, txb_n, 1).start()
+
+        @pl.when(has_next & jnp.logical_not(par0))
+        def _():
+            _tex_copy(tyb_n, txb_n, 0).start()
+
+        @pl.when(par0)
+        def _():
+            _tex_copy(tyb_c, txb_c, 0).wait()
+
+        @pl.when(jnp.logical_not(par0))
+        def _():
+            _tex_copy(tyb_c, txb_c, 1).wait()
+
+        trow0 = jnp.where(par0, 0, TR // 8)  # texw row offset, 8-row units
 
         # window-local indices (clamped; the +1 taps clamp to the texture edge
         # exactly like common.sample_texture_bilinear's quad duplication)
-        wt_hi = jnp.minimum(jnp.int32(TXW - 1), wt - 1 - txb * 128)
-        ixl = jnp.clip(ixi - txb * 128, 0, wt_hi)
+        wt_hi = jnp.minimum(jnp.int32(TXW - 1), wt - 1 - txb_c * 128)
+        ixl = jnp.clip(ixi - txb_c * 128, 0, wt_hi)
         ixl1 = jnp.minimum(ixl + 1, wt_hi)
-        ht_hi = jnp.minimum(jnp.int32(TR - 1), ht - 1 - tyb * 8)
-        iyl = jnp.clip(iyi - tyb * 8, 0, ht_hi)
+        ht_hi = jnp.minimum(jnp.int32(TR - 1), ht - 1 - tyb_c * 8)
+        iyl = jnp.clip(iyi - tyb_c * 8, 0, ht_hi)
         iyl1 = jnp.minimum(iyl + 1, ht_hi)
 
-        rlo = jnp.clip(jnp.min(jnp.where(covw, iyl, big)) // 8, 0, TR // 8)
+        rlo = jnp.clip(jnp.min(jnp.where(covw, iyl, bigv)) // 8, 0, TR // 8)
         rhi = jnp.clip(
             (jnp.max(jnp.where(covw, iyl1, -1)) + 8) // 8, rlo, TR // 8
         )
@@ -960,7 +1012,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
         def tex_row_body(rb, taps):
             c00, c01, c10, c11 = taps
             tb = pltpu.bitcast(
-                texw_ref[pl.ds(rb * 8, 8), :], jnp.int32
+                texw_ref[pl.ds((trow0 + rb) * 8, 8), :], jnp.int32
             )  # (8, TXW)
 
             for j in range(8):
@@ -1024,10 +1076,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             q8(r_) | (q8(g_) << 8) | (q8(b_) << 16) | (q8(a_) << 24)
         )
         out_ref[0, :, xsl] = pltpu.bitcast(packed, jnp.uint32)
-        return 0
+        return tyb_n, txb_n
+
+    def _shade_pass():
+        ty0, tx0 = _tex_origin(0)
+        _tex_copy(ty0, tx0, 0).start()
+        jax.lax.fori_loop(0, nblk, shade_block, (ty0, tx0))
 
     if phases in ("all", "march_only"):
         jax.lax.fori_loop(0, wl // 128, march_block, 0)
+        if mode != "attrs":
+            _shade_pass()
     elif mode == "attrs":  # solve-only profiling variants: blank the output
         out_ref[...] = jnp.zeros((1, 1, 8, 8, wl), jnp.float32)
     else:
@@ -1250,8 +1309,11 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
              pltpu.VMEM((config.nbr, config.nrec, 8, cl), jnp.float32)]
             + ([] if config.big_grid
                else [pltpu.VMEM((config.nbr, 2, cl, 8), jnp.float32)])
-            + [pltpu.VMEM((config.tex_rows, config.tex_cols), jnp.uint32),
-               pltpu.SemaphoreType.DMA((3,))]
+            # pass-1 shade attrs (ix, iy, fx, fy, covw, zm) + the DOUBLE-
+            # buffered texture window (two-pass shade, round 3)
+            + [pltpu.VMEM((6, 8, wl), jnp.float32),
+               pltpu.VMEM((2 * config.tex_rows, config.tex_cols), jnp.uint32),
+               pltpu.SemaphoreType.DMA((4,))]
         ),
     )
     kernel = functools.partial(

@@ -199,9 +199,17 @@ class MeshRenderer:
         Mirrors the reference's loop (``render.py:734-764``): draw, then
         ``on_update(delta)`` unless paused, at the target FPS pace unless
         ``unlimited_frame_works``.
+
+        NOTE: this per-frame dispatch-and-read-back loop is the API-parity
+        surface, not the throughput path — each ``draw()`` synchronously
+        fetches the frame to the host, so a remote/tunneled TPU caps it at
+        transfer speed regardless of kernel speed. Batched clips should use
+        :func:`render_clip` (grouped kernel launches + pipelined readback).
         """
         import time
 
+        log("MeshRenderer.run(): per-frame dispatch loop (API-parity path); "
+            "use render_clip() for batched-throughput rendering.")
         try:
             self.frame_timer.reset()
             while not self._should_close:

@@ -272,7 +272,24 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
     mvp = jnp.asarray(mvp, jnp.float32)
 
-    sx, sy, z, _ = common.project_vertices(vertex_grid, mvp, width, height)
+    sx, sy, z, inv_w = common.project_vertices(vertex_grid, mvp, width, height)
+
+    # Near-plane masking (parity with the tiled paths' whole-triangle drop,
+    # common.py:21-26; reference GL clips per-primitive, render.py:631-634).
+    # Vertices behind the camera plane (clip_w <= 0 -> inv_w <= 0) get:
+    # (a) sy pushed above every scanline, so no column crossing ever fires on
+    #     an edge ENTERING a bad vertex (s_lo = 1e9 is never < qy) — records
+    #     only anchor on bad->good edges, where the interpolant lands at the
+    #     good endpoint;
+    # (b) z = 1e9 (finite — a NaN would poison the kernel's min-reduce slot
+    #     gates), so the exact coverage test zz in [-1, 1] fails for every
+    #     cell whose triangle touches a bad corner — the whole-triangle drop;
+    # (c) sx clamped to a bounded band so the column-mean march anchors stay
+    #     finite under sign-flipped projections.
+    bad = inv_w <= 0.0
+    sy = jnp.where(bad, jnp.float32(1.0e9), sy)
+    z = jnp.where(bad, jnp.float32(1.0e9), z)
+    sx = jnp.where(bad, jnp.clip(sx, -2.0 * width, 3.0 * width), sx)
 
     CL = _ceil_to(n_c, 128)
     RPAD = max(_ceil_to(n_r, 8), config.rmax)

@@ -291,34 +291,14 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
     impl = _auto_impl(n, edge_cull_threshold) if impl == "auto" else impl
     if impl == "scan":
         from .ops import raster_scan as _rs
-        from .ops import common as _common
 
         if not _rs.scan_supported(n):
             log(f"NOTICE: grid n={n} exceeds the scan kernel's VMEM window "
                 f"budget; falling back to the tiled path for this clip.")
             impl = _auto_impl(None, edge_cull_threshold)
-        else:
-            # Near-plane guard: the scan kernel assumes every vertex projects
-            # with clip_w > 0 (the tiled paths mask offending triangles
-            # per-primitive instead). Sample the clip's extreme views.
-            import jax.numpy as _jnp
-
-            proj_np = np.asarray(projection, np.float32)
-            model_np = np.asarray(mesh.transform, np.float32)
-            ks = np.linspace(0, len(view_batch) - 1,
-                             min(3, len(view_batch))).astype(int)
-            min_iw = min(
-                float(_jnp.min(_common.project_vertices(
-                    vgrid,
-                    proj_np @ np.asarray(view_batch[k], np.float32) @ model_np,
-                    width, height)[3]))
-                for k in ks
-            )
-            if min_iw <= 0.0:
-                log("NOTICE: vertices cross the camera plane (clip_w <= 0) at "
-                    "sampled views; falling back to the tiled path (it masks "
-                    "near-plane triangles per-primitive).")
-                impl = _auto_impl(None, edge_cull_threshold)
+        # (The scan prep masks clip_w <= 0 vertices since round 3 — the same
+        # whole-triangle drop as the tiled paths, raster_scan._prep_scan_impl
+        # — so near-plane-crossing views no longer force a fallback.)
     if impl == "scan" or config is not None:
         cfg = config
     else:

@@ -257,7 +257,7 @@ def _monotone_interp(q, xp, fp):
 def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     """Project the grid and derive the kernel's per-band/per-chunk scalars.
 
-    :return: (win, w0, bounds, canch, overflow_rows) where ``win`` is the
+    :return: (win, w0, bounds, canch, mid, overflow_rows) where ``win`` is the
         (3, RPAD, CL) channel-major projected grid (sx, sy, z; rows and cols
         edge-padded), ``w0`` is the (nbands,) int32 window origin in 8-row
         units, ``bounds`` is the (nbands, nchunks) int32 PACKED per-128-column
@@ -386,7 +386,59 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
         max((CL - config.cw - 128) // 8, 0),
     )
 
-    return (win, (w0 // 8).astype(jnp.int32), bounds, canch, overflow_rows)
+    # Centered NARROW march window per (band, block) — round-3 lever. The
+    # dense march sign-tests all cw columns; here prep bounds the candidate
+    # PAIR bases rigorously: sxc(y, c) interpolates two window rows, so it
+    # lies in [min, max] of column c's sx over the band's row window, and a
+    # pair (c, c+1) can bracket a block pixel only if the union of the two
+    # columns' intervals meets the block's qx range. When all candidate pair
+    # bases fit a 120-column span, the kernel marches a centered 128-column
+    # window (8-aligned offset `mid` relative to canch) instead of the full
+    # cw — the wide fallback keeps fold-heavy blocks lossless. Sentinels:
+    # mid = -1 -> wide march, mid = -2 -> no candidates at all (skip).
+    if config.big_grid or config.cw <= 128:
+        mid = jnp.full((nbands * nblocks,), -1, jnp.int32)
+    else:
+        sxw = win[0]                       # (RPAD, CL), near-plane-clamped
+        nrb = RPAD // 8
+        bmin = sxw.reshape(nrb, 8, CL).min(axis=1)   # per-8-row-block extrema
+        bmax = sxw.reshape(nrb, 8, CL).max(axis=1)
+        nwb = config.rmax // 8
+        ridx = jnp.clip((w0[:, None] // 8) + jnp.arange(nwb)[None, :],
+                        0, nrb - 1)                  # (nbands, nwb)
+        smin = jnp.take(bmin, ridx.reshape(-1), axis=0
+                        ).reshape(nbands, nwb, CL).min(axis=1)  # (nbands, CL)
+        smax = jnp.take(bmax, ridx.reshape(-1), axis=0
+                        ).reshape(nbands, nwb, CL).max(axis=1)
+        # pair-base intervals: union of columns c and c+1 (edge-pad the last)
+        pmin = jnp.minimum(smin, jnp.concatenate([smin[:, 1:],
+                                                  smin[:, -1:]], axis=1))
+        pmax = jnp.maximum(smax, jnp.concatenate([smax[:, 1:],
+                                                  smax[:, -1:]], axis=1))
+        # Left slack 66 px: a (real, FAR) silhouette pair left of the block
+        # can own stretched cells reaching into it with no crossing inside
+        # (the big_grid chunk gate keeps the same 64-px class); cells
+        # stretching further than that are the documented extreme-fold
+        # compromise. Right slack 2 px covers float interpolation safety.
+        x0 = jnp.arange(nblocks, dtype=jnp.float32)[None, :, None] * 128.0 - 66.0
+        x1 = jnp.arange(nblocks, dtype=jnp.float32)[None, :, None] * 128.0 + 130.0
+        cand = (pmin[:, None, :] <= x1) & (pmax[:, None, :] >= x0)
+        cidx = jnp.arange(CL, dtype=jnp.int32)
+        bigc = jnp.int32(1 << 20)
+        p_lo = jnp.min(jnp.where(cand, cidx[None, None, :], bigc), axis=2)
+        p_hi = jnp.max(jnp.where(cand, cidx[None, None, :], -1), axis=2)
+        has = p_hi >= p_lo                           # (nbands, nblocks)
+        canch_m = canch[None, :] * 8
+        centre = jnp.where(has, (p_lo + p_hi) // 2, canch_m + config.cw // 2)
+        mid_cols = jnp.clip(((centre - 63) // 8) * 8,
+                            canch_m, canch_m + config.cw - 128)
+        ok = has & (p_lo >= mid_cols) & (p_hi <= mid_cols + 126)
+        mid8 = (mid_cols - canch_m) // 8
+        mid = jnp.where(ok, mid8,
+                        jnp.where(has, -1, -2)).astype(jnp.int32).reshape(-1)
+
+    return (win, (w0 // 8).astype(jnp.int32), bounds, canch, mid,
+            overflow_rows)
 
 
 _prep_scan = jax.jit(
@@ -399,7 +451,7 @@ _prep_scan = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
+def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                  tex_hbm, *refs, config: ScanConfig, width: int, height: int,
                  n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
                  mode: str, debug_records: bool = False, phases: str = "all"):
@@ -655,6 +707,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     MW = CWF if config.big_grid else CW
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (MW, 128), 0).astype(
         jnp.float32)
+    iota_nw = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0).astype(
+        jnp.float32)  # narrow-march window iota
 
     def gather_rec(s, plane, canch_f, idx, base):
         """rec[s, plane, y, canch_f*128 + idx] as (8, 128) via TWO 128-lane
@@ -705,6 +759,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
     def march_block(blk, _):
         canch_m = canch_ref[t, blk] * 8        # march anchor, 8-col aligned
         canch_f = canch_m // 128               # fetch-table anchor (128-aligned)
+        if config.big_grid or config.cw <= 128:
+            mid = jnp.int32(-1)                # narrow march n/a: always wide
+        else:
+            # prep-computed centered narrow-march window offset (8-col units
+            # relative to canch); -1 = wide fallback, -2 = no candidates
+            mid = mid_ref[t, i * (wl // 128) + blk]
         if config.big_grid:
             off_f = canch_m - canch_m          # march window == fetch window
         else:
@@ -799,36 +859,62 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
             def slot_body(best_in, s=s, sxc_t=sxc_t, zc_t=zc_t,
                           _march_tail=_march_tail):
                 if MW // 128 < 4:
-                    # Measured (round 3, cw=256 -> 2 chunks): the per-chunk
+                    # Measured (round 3, cw=256 -> 2 chunks): a per-chunk
                     # lax.cond gate costs more than it saves when the active
-                    # region spans most chunks anyway — the dense march is
-                    # ~1 ms/frame faster at the production config. Chunk+gate
-                    # only where the window is wide (big_grid: 7-8 chunks,
-                    # typically 1 active).
-                    hyp1 = []
-                    counts = []
-                    for y in range(8):
-                        c = sxc_t[:, y : y + 1]          # (MW, 1)
-                        zz = zc_t[:, y : y + 1]
-                        f = c - (qx[y : y + 1, :])       # (MW, 128)
-                        f2 = pltpu.roll(f, MW - 1, 0)
-                        hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
-                        key = jnp.where(hit, zz, _FAR)
-                        m1 = jnp.min(key, axis=0, keepdims=True)
-                        o1 = jnp.min(
-                            jnp.where(key == m1, iota_cw, jnp.float32(MW)),
-                            axis=0,
-                            keepdims=True,
-                        )
-                        hyp1.append(o1)
-                        if config.hyps == 2:
-                            counts.append(jnp.sum(
-                                jnp.where(hit, 1.0, 0.0), axis=0,
-                                keepdims=True))
-                    h1 = jnp.concatenate(hyp1, axis=0)   # (8, 128)
-                    cnt_acc = (jnp.concatenate(counts, axis=0)
-                               if config.hyps == 2 else None)
-                    return _march_tail(best_in, s, h1, cnt_acc)
+                    # region straddles the chunk boundary (the anchor CENTRES
+                    # it there). The round-3 narrow march fixes the shape
+                    # mismatch instead: prep centres a 128-column window on
+                    # the block's rigorously-bounded candidate pair span
+                    # (`mid`), and only fold-heavy blocks (span > 126 cols)
+                    # fall back to the full dense cw sweep.
+                    def _sweep(sx_w, zz_w, iota_w, Lw):
+                        hyp1 = []
+                        counts = []
+                        for y in range(8):
+                            c = sx_w[:, y : y + 1]       # (Lw, 1)
+                            zz = zz_w[:, y : y + 1]
+                            f = c - (qx[y : y + 1, :])   # (Lw, 128)
+                            f2 = pltpu.roll(f, Lw - 1, 0)
+                            hit = (f * f2 <= 0.0) & (iota_w < Lw - 1)
+                            key = jnp.where(hit, zz, _FAR)
+                            m1 = jnp.min(key, axis=0, keepdims=True)
+                            o1 = jnp.min(
+                                jnp.where(key == m1, iota_w, jnp.float32(Lw)),
+                                axis=0,
+                                keepdims=True,
+                            )
+                            hyp1.append(o1)
+                            if config.hyps == 2:
+                                counts.append(jnp.sum(
+                                    jnp.where(hit, 1.0, 0.0), axis=0,
+                                    keepdims=True))
+                        h1 = jnp.concatenate(hyp1, axis=0)   # (8, 128)
+                        cnt = (jnp.concatenate(counts, axis=0)
+                               if config.hyps == 2
+                               else jnp.zeros((8, 128), jnp.float32))
+                        return h1, cnt
+
+                    if config.big_grid or config.cw <= 128:
+                        h1, cnt_acc = _sweep(sxc_t, zc_t, iota_cw, MW)
+                        return _march_tail(
+                            best_in, s, h1,
+                            cnt_acc if config.hyps == 2 else None)
+
+                    def narrow_fn(_):
+                        off8 = (canch_ref[t, blk] + mid) * 8
+                        sxn = curve_ref[s, 0, pl.ds(off8, 128), :]
+                        zcn = curve_ref[s, 1, pl.ds(off8, 128), :]
+                        h1n, cntn = _sweep(sxn, zcn, iota_nw, 128)
+                        sent = h1n >= jnp.float32(127.5)  # no-hit sentinel
+                        h1n = h1n + (mid * 8).astype(jnp.float32)
+                        return jnp.where(sent, jnp.float32(MW), h1n), cntn
+
+                    def wide_fn(_):
+                        return _sweep(sxc_t, zc_t, iota_cw, MW)
+
+                    h1, cnt_acc = jax.lax.cond(mid >= 0, narrow_fn, wide_fn, 0)
+                    return _march_tail(best_in, s, h1,
+                                       cnt_acc if config.hyps == 2 else None)
                 # Chunked gated march (round 3): the dense (MW x 128) sign
                 # test runs per 128-column chunk behind a scalar
                 # range-intersection gate — a chunk whose real crossing-x
@@ -895,7 +981,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, fconst_ref, win_hbm,
                     best_in, s, o1_acc,
                     cnt_acc if config.hyps == 2 else None)
 
-            best = jax.lax.cond(any_rec, slot_body, lambda b: b, best)
+            best = jax.lax.cond(any_rec & (mid != jnp.int32(-2)),
+                                slot_body, lambda b: b, best)
 
         bz, bid, uw, vw, iw, bml = best
         cov = bz < _FAR
@@ -1270,7 +1357,7 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
                               "phases")
 )
 def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
-                        width, height, n_r, n_c, config: ScanConfig,
+                        mid, width, height, n_r, n_c, config: ScanConfig,
                         mode: str = "attrs", interpret: bool = False,
                         debug_records: bool = False, phases: str = "all"):
     """Run the fused scan kernel over a FRAME GROUP.
@@ -1314,7 +1401,7 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
             (T, nbands, 1, config.nrec, 8, cl), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(T, nbands),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -1359,7 +1446,7 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
-    )(w0, bounds, canch, minv_rows, win, texq)
+    )(w0, bounds, canch, mid, minv_rows, win, texq)
 
 
 # ---------------------------------------------------------------------------
@@ -1536,12 +1623,12 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
     frames = []
     ovfs = []
     for s in range(0, T + pad, fb):
-        win, w0, bounds, canch, ovf = _prep_scan_batched(
+        win, w0, bounds, canch, mid, ovf = _prep_scan_batched(
             mvps[s:s + fb], vertex_grid, width, height, config
         )
         ovfs.append(ovf)
         bands = _raster_scan_pallas(
-            win, texq, (ht, wt), minv_rows[s:s + fb], w0, bounds, canch,
+            win, texq, (ht, wt), minv_rows[s:s + fb], w0, bounds, canch, mid,
             width, height, n_r, n_c, config,
             mode if in_kernel else "attrs", interpret,
         )
@@ -1601,11 +1688,11 @@ def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,
     cpad_t = max(_ceil_to(wt, 128), config.tex_cols)
     texq = _pack_texture(texture_f32, rpad_t, cpad_t)
 
-    win, w0, bounds, canch, _ = jax.vmap(
+    win, w0, bounds, canch, mid, _ = jax.vmap(
         lambda m: _prep_scan_impl(m, vertex_grid, width, height, config)
     )(mvps)
     bands = _raster_scan_pallas(
-        win, texq, (ht, wt), minv_rows, w0, bounds, canch,
+        win, texq, (ht, wt), minv_rows, w0, bounds, canch, mid,
         width, height, n_r, n_c, config, mode, interpret,
     )
     u8 = jax.lax.bitcast_convert_type(bands, jnp.uint8)

@@ -142,7 +142,8 @@ def test_scan_solve_forensics_vs_host_replica(checker_texture):
     n = int(np.sqrt(len(verts)))
     W, H = 96, 72
     cfg = CFG_MED
-    win, w0, bounds, canch, _ = (np.asarray(a) for a in raster_scan._prep_scan(
+    win, w0, bounds, canch, mid, _ = (np.asarray(a) for a in
+                                      raster_scan._prep_scan(
         jnp.asarray(mvp, jnp.float32), verts.reshape(n, n, 3), W, H, cfg))
     nbands = H // 8
     bounds2 = bounds.reshape(nbands, -1)
@@ -156,8 +157,8 @@ def test_scan_solve_forensics_vs_host_replica(checker_texture):
         _, dbg = raster_scan._raster_scan_pallas(
             jnp.asarray(win)[None], texq, (1, 1), minv_rows[None],
             jnp.asarray(w0)[None], jnp.asarray(bounds)[None],
-            jnp.asarray(canch)[None], W, H, n, n, cfg,
-            interpret=True, debug_records=True)
+            jnp.asarray(canch)[None], jnp.asarray(mid)[None], W, H, n, n,
+            cfg, interpret=True, debug_records=True)
     dbg = np.asarray(dbg)[0]  # (nbands, 1, nrec, 8, CL)
 
     FAR = 3.0e38
@@ -294,3 +295,58 @@ def test_scan_near_plane_triangles_masked(checker_texture):
         "pixels at a near-plane-crossing pose"
     )
     assert_images_close(got, want, min_psnr=25.0, max_diff_frac=0.05)
+
+
+def test_scan_narrow_march_matches_wide(checker_texture):
+    """The prep-centered 128-column narrow march window (round 3) must match
+    the full-cw wide sweep wherever prep declares a block narrow-eligible —
+    its pair-span bound is rigorous (plus the 66 px silhouette slack), so on
+    a fold-free scene the outputs are identical; forcing mid = -1 replays
+    the same frame through the wide path for comparison."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 257  # density-8 grid: CL = 384 >= cw + 128, so cw=256 is legal
+    W, H = 192, 96
+    depth = rng.uniform(0.55, 0.75, (n, n))  # gentle relief: no folds
+    xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(1, -1, n))
+    verts = np.stack([xs, ys, depth], axis=-1).astype(np.float32)
+    uvs = np.stack([np.meshgrid(np.linspace(0, 1, n),
+                                np.linspace(1, 0, n))[0],
+                    np.meshgrid(np.linspace(0, 1, n),
+                                np.linspace(1, 0, n))[1]], -1
+                   ).reshape(-1, 2).astype(np.float32)
+    mvp = (np.asarray(transforms.perspective(18.0, W / H))
+           @ np.asarray(transforms.translation(dz=-4.0))).astype(np.float32)
+
+    cfg = raster_scan.suggest_scan_config(n, W, H)
+    assert cfg.cw >= 256, f"test needs a narrow-eligible config, got {cfg}"
+    win, w0, bounds, canch, mid, _ = raster_scan._prep_scan(
+        jnp.asarray(mvp), jnp.asarray(verts), W, H, cfg)
+    mid_np = np.asarray(mid)
+    assert (mid_np >= 0).mean() > 0.5, (
+        f"expected mostly narrow-eligible blocks, got {(mid_np >= 0).mean():.0%}")
+
+    minv = np.linalg.inv(np.asarray(mvp, np.float64))
+    minv_rows = jnp.asarray(
+        np.concatenate([minv[2], minv[3]]).astype(np.float32))
+    tex = checker_texture.astype(np.float32)
+    ht, wt = tex.shape[0], tex.shape[1]
+    rpad_t = max(-(-ht // 8) * 8, cfg.tex_rows)
+    cpad_t = max(-(-wt // 128) * 128, cfg.tex_cols)
+    texq = raster_scan._pack_texture(jnp.asarray(tex), rpad_t, cpad_t)
+
+    def run(mid_arr):
+        with pltpu.force_tpu_interpret_mode():
+            bands = raster_scan._raster_scan_pallas(
+                jnp.asarray(win)[None], texq, (ht, wt), minv_rows[None],
+                jnp.asarray(w0)[None], jnp.asarray(bounds)[None],
+                jnp.asarray(canch)[None], jnp.asarray(mid_arr)[None],
+                W, H, n, n, cfg, mode="texture", interpret=True)
+        u8 = np.asarray(bands).view(np.uint8).reshape(1, -1, bands.shape[-1], 4)
+        return u8[0, :H, :W]
+
+    got_narrow = run(mid_np)
+    got_wide = run(np.full_like(mid_np, -1))
+    same = (got_narrow == got_wide).all(axis=-1).mean()
+    assert same > 0.999, f"narrow vs wide agreement {same:.4%}"

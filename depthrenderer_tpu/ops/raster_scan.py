@@ -329,6 +329,26 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     # Scan rows k in [kb, ke): needs row k+1; capture tail needs sr-off-1 more.
     tail = config.sr - config.off
     ke_cap = config.rmax - tail - 1
+
+    # Multi-crossing flag per (band, chunk) — the slot-1 capture gate
+    # (round 3). A scanline can cross a column's polyline twice only where
+    # the column's projected sy is NON-monotone inside the scanned row range
+    # (folds / near-plane masking); a cumulative count of per-chunk
+    # monotonicity violations makes the per-(band, chunk) test two gathers.
+    # Chunks with a zero count provably never fire crossing slot 1, and the
+    # kernel runs a capture body with the slot-1 strip selects deleted
+    # (~44% of the capture cost at nbr=2). The flag rides bit 24 (standard)
+    # / bit 28 (big_grid) of the packed bounds word; every unpacker masks.
+    viol = win[1][1:, :] > win[1][:-1, :]                    # (RPAD-1, CL)
+    violc = viol.reshape(RPAD - 1, nchunks, 128).any(axis=2)
+    psum_ex = jnp.concatenate(
+        [jnp.zeros((1, nchunks), jnp.int32),
+         jnp.cumsum(violc.astype(jnp.int32), axis=0)], axis=0)  # (RPAD, nch)
+
+    def _multi_flag(kb_g, ke_g):
+        hi = jnp.take_along_axis(psum_ex, jnp.clip(ke_g, 0, RPAD - 1), axis=0)
+        lo = jnp.take_along_axis(psum_ex, jnp.clip(kb_g, 0, RPAD - 1), axis=0)
+        return ((hi - lo) > 0).astype(jnp.int32)
     if config.big_grid:
         # Per-chunk window origin: each 128-column chunk DMAs its own
         # (3, rmax, 128) row window; bounds pack (w0c_units | kb<<10 |
@@ -344,7 +364,9 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
         overflow_rows = jnp.sum(
             jnp.where(empty, 0, jnp.maximum((r_hi + 1 - w0c) - ke_cap, 0))
         )
-        bounds = ((w0c // 8) | (kb << 10) | (ke << 19)).astype(jnp.int32)
+        multi = _multi_flag(w0c + kb, w0c + ke)
+        bounds = ((w0c // 8) | (kb << 10) | (ke << 19)
+                  | (multi << 28)).astype(jnp.int32)
         bounds = bounds.reshape(-1)  # SMEM pads the LAST dim to 128: keep 1-D
         w0 = jnp.zeros((nbands,), jnp.int32)
     else:
@@ -371,7 +393,8 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
         # (nbands * nchunks,) flattened: a trailing dim of `nchunks` would be
         # SMEM-padded to 128 lanes (measured 1.06 MB > the 1 MiB SMEM budget
         # at T=16/1080p/d10); flat it stays at ~5 KB per frame.
-        bounds = (kb | (ke << 12)).astype(jnp.int32).reshape(-1)
+        multi = _multi_flag(w0[:, None] + kb, w0[:, None] + ke)
+        bounds = (kb | (ke << 12) | (multi << 24)).astype(jnp.int32).reshape(-1)
 
     # March anchors per 128-pixel block from the mean projected column x,
     # in 8-column units (the transposed curve slices on the sublane grid;
@@ -564,6 +587,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             w0c = (bnd & 0x3FF) * 8   # chunk window origin (global rows)
             kb = (bnd >> 10) & 0x1FF  # scan bounds, chunk-window-relative
             ke = (bnd >> 19) & 0x1FF
+            multi2 = (bnd >> 28) & 1  # slot-1 capture gate (prep cumsum)
             ccopy = pltpu.make_async_copy(
                 win_hbm.at[t, :, pl.ds(w0c, config.rmax),
                            pl.ds(chunk * 128, 128)],
@@ -578,6 +602,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         else:
             kb = bnd & 0xFFF          # per-chunk scan bounds, window-relative
             ke = (bnd >> 12) & 0xFFF
+            multi2 = (bnd >> 24) & 1  # slot-1 capture gate (prep cumsum)
             k_base = jnp.float32(0.0)
 
         def init_slot():
@@ -593,76 +618,104 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         b_begin = jnp.maximum(kb - (OFF + 1), 0) // 8
         b_end = (ke + tail + 7) // 8
 
-        def body(b, carry):
-            cnt, slots, ring, cur = carry
-            bn = jnp.minimum(b + 1, nrow_blocks - 1)
-            nxt = tuple(load_block(v, bn, chunk) for v in range(3))
-            for j in range(8):
-                k = b * 8 + j
-                kf = k.astype(jnp.float32) + k_base
-                row0 = tuple(cur[v][j : j + 1] for v in range(3))  # row k
-                row1 = tuple(  # row k+1
-                    cur[v][j + 1 : j + 2] if j < 7 else nxt[v][0:1]
-                    for v in range(3)
-                )
-                ring = (row0,) + ring[1:]  # ring[m] = win row k - m
-                s_hi = row0[1]
-                s_lo = row1[1]
-                cross = (
-                    (s_hi >= qy_col) & (s_lo < qy_col) & (k >= kb) & (k < ke)
-                )
-                denom = jnp.maximum(s_hi - s_lo, 1e-12)
-                frac = jnp.where(cross, (s_hi - qy_col) / denom, 0.0)
-                sxc_new = row0[0] + (row1[0] - row0[0]) * frac
-                zc_new = row0[2] + (row1[2] - row0[2]) * frac
+        def make_body(nbr_cap):
+            """Solve/capture row-step body touching only slots < nbr_cap.
 
-                new_slots = []
-                for s in range(NBR):
-                    sxc_s, zc_s, bw_s, strips = slots[s]
-                    fire = cross & (cnt == jnp.float32(s))
-                    sxc_s = jnp.where(fire, sxc_new, sxc_s)
-                    zc_s = jnp.where(fire, zc_new, zc_s)
-                    bw_s = jnp.where(fire, kf, bw_s)
-                    if phases == "solve_nocap":  # profiling: skip strip capture
-                        new_slots.append((sxc_s, zc_s, bw_s, strips))
-                        continue
-                    new_strips = []
-                    for sj in range(SR):
-                        row_vals = []
-                        if sj <= OFF:
-                            src = ring[OFF - sj]  # win[k - off + sj]
-                            for v in range(3):
-                                row_vals.append(
-                                    jnp.where(fire, src[v], strips[sj][v])
-                                )
-                        elif sj == OFF + 1:
-                            for v in range(3):
-                                row_vals.append(
-                                    jnp.where(fire, row1[v], strips[sj][v])
-                                )
-                        else:
-                            # deferred: capture row k+1 into records whose
-                            # strip row sj is that row: basew - off + sj == k+1
-                            m = bw_s == (kf + 1.0 - jnp.float32(sj - OFF))
-                            for v in range(3):
-                                row_vals.append(
-                                    jnp.where(m, row1[v], strips[sj][v])
-                                )
-                        new_strips.append(tuple(row_vals))
-                    new_slots.append((sxc_s, zc_s, bw_s, tuple(new_strips)))
-                slots = tuple(new_slots)
-                cnt = cnt + jnp.where(cross, 1.0, 0.0)
-                ring = (row0,) + ring[:-1]  # shift: next step's k-1 is this k
-            return cnt, slots, ring, nxt
+            The slot-1 capture gate (round 3): prep proves per (band, chunk)
+            whether ANY column can cross a scanline twice in the scanned row
+            range (sy monotonicity violations, cumulative-count test); chunks
+            without fire slot 1 never, so the nbr_cap=1 body deletes its
+            strip/anchor selects — ~44% of the capture cost at nbr=2 —
+            bit-identically (the untouched slot keeps its FAR/NOBASE init,
+            which the march's any_rec gate then skips)."""
+            def body(b, carry):
+                cnt, slots, ring, cur = carry
+                bn = jnp.minimum(b + 1, nrow_blocks - 1)
+                nxt = tuple(load_block(v, bn, chunk) for v in range(3))
+                for j in range(8):
+                    k = b * 8 + j
+                    kf = k.astype(jnp.float32) + k_base
+                    row0 = tuple(cur[v][j : j + 1] for v in range(3))  # row k
+                    row1 = tuple(  # row k+1
+                        cur[v][j + 1 : j + 2] if j < 7 else nxt[v][0:1]
+                        for v in range(3)
+                    )
+                    ring = (row0,) + ring[1:]  # ring[m] = win row k - m
+                    s_hi = row0[1]
+                    s_lo = row1[1]
+                    cross = (
+                        (s_hi >= qy_col) & (s_lo < qy_col)
+                        & (k >= kb) & (k < ke)
+                    )
+                    denom = jnp.maximum(s_hi - s_lo, 1e-12)
+                    frac = jnp.where(cross, (s_hi - qy_col) / denom, 0.0)
+                    sxc_new = row0[0] + (row1[0] - row0[0]) * frac
+                    zc_new = row0[2] + (row1[2] - row0[2]) * frac
+
+                    new_slots = []
+                    for s in range(NBR):
+                        if s >= nbr_cap:  # provably never fires: passthrough
+                            new_slots.append(slots[s])
+                            continue
+                        sxc_s, zc_s, bw_s, strips = slots[s]
+                        fire = cross & (cnt == jnp.float32(s))
+                        sxc_s = jnp.where(fire, sxc_new, sxc_s)
+                        zc_s = jnp.where(fire, zc_new, zc_s)
+                        bw_s = jnp.where(fire, kf, bw_s)
+                        if phases == "solve_nocap":  # profiling: no capture
+                            new_slots.append((sxc_s, zc_s, bw_s, strips))
+                            continue
+                        new_strips = []
+                        for sj in range(SR):
+                            row_vals = []
+                            if sj <= OFF:
+                                src = ring[OFF - sj]  # win[k - off + sj]
+                                for v in range(3):
+                                    row_vals.append(
+                                        jnp.where(fire, src[v], strips[sj][v])
+                                    )
+                            elif sj == OFF + 1:
+                                for v in range(3):
+                                    row_vals.append(
+                                        jnp.where(fire, row1[v], strips[sj][v])
+                                    )
+                            else:
+                                # deferred: capture row k+1 into records whose
+                                # strip row sj is that row:
+                                # basew - off + sj == k+1
+                                m = bw_s == (kf + 1.0 - jnp.float32(sj - OFF))
+                                for v in range(3):
+                                    row_vals.append(
+                                        jnp.where(m, row1[v], strips[sj][v])
+                                    )
+                            new_strips.append(tuple(row_vals))
+                        new_slots.append((sxc_s, zc_s, bw_s,
+                                          tuple(new_strips)))
+                    slots = tuple(new_slots)
+                    cnt = cnt + jnp.where(cross, 1.0, 0.0)
+                    ring = (row0,) + ring[:-1]  # shift: next k-1 is this k
+                return cnt, slots, ring, nxt
+            return body
 
         cnt0 = jnp.zeros((8, 128), jnp.float32)
         slots0 = tuple(init_slot() for _ in range(NBR))
         zero_row = jnp.zeros((1, 128), jnp.float32)
         ring0 = tuple((zero_row,) * 3 for _ in range(OFF + 1))
         cur0 = tuple(load_block(v, b_begin, chunk) for v in range(3))
-        _, slots, _, _ = jax.lax.fori_loop(
-            b_begin, b_end, body, (cnt0, slots0, ring0, cur0)
-        )
+        init = (cnt0, slots0, ring0, cur0)
+        if NBR >= 2:
+            _, slots, _, _ = jax.lax.cond(
+                multi2 == 1,
+                lambda ini: jax.lax.fori_loop(b_begin, b_end,
+                                              make_body(NBR), ini),
+                lambda ini: jax.lax.fori_loop(b_begin, b_end,
+                                              make_body(1), ini),
+                init,
+            )
+        else:
+            _, slots, _, _ = jax.lax.fori_loop(
+                b_begin, b_end, make_body(NBR), init
+            )
 
         csl = pl.ds(chunk * 128, 128)
         for s in range(NBR):
@@ -1222,23 +1275,47 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     # The delta range matters: capping |d| at 3 measurably loses fold cells
     # (scan_proto3 DMAX sweep: 99.03% -> 99.47% winner agreement); the
     # production config caps at dmax=5 (-0.22pp for ~0.9 ms/frame).
+    # Round-3 zero-shear gate: away from folds the two columns' records
+    # anchor on the SAME row (d == 0 for every valid lane — the common
+    # case), and aligned2 is strip2 verbatim; one scalar reduce skips the
+    # whole (2*dmax+1) x sr x 3 select pyramid, bit-identically (the
+    # pyramid's delta=0 plane IS the passthrough). Lanes whose RIGHT record
+    # is missing (bw2 = _NOBASE) are masked out of the gate reduce, and the
+    # fast path NaN-poisons only their z rows — any NaN corner z fails the
+    # zz-in-[-1,1] coverage test, reproducing the pyramid's no-delta-match
+    # NaN rejection at sr selects instead of 3*sr per delta.
     dmax = SR - 1 if config.dmax is None else min(config.dmax, SR - 1)
     d = bw2 - bw1
+    valid2 = bw2 > jnp.float32(_NOBASE + 1.0)
+    both_valid = (bw1 > jnp.float32(_NOBASE + 1.0)) & valid2
+    no_shear = jnp.max(jnp.abs(jnp.where(both_valid, d, 0.0))) < 0.5
     nanv = jnp.float32(jnp.nan)
-    deltas = {
-        delta: d == jnp.float32(delta) for delta in range(-dmax, dmax + 1)
-    }
-    aligned2 = []
-    for k in range(SR):
-        acc = (nanv * jnp.ones_like(bw1),) * 3
-        for delta in range(-dmax, dmax + 1):
-            kk = k - delta
-            if 0 <= kk < SR:
-                m = deltas[delta]
-                acc = tuple(
-                    jnp.where(m, strip2[kk][v], acc[v]) for v in range(3)
-                )
-        aligned2.append(acc)
+
+    def _passthrough(s2):
+        return tuple(
+            (r[0], r[1], jnp.where(valid2, r[2], nanv)) for r in s2
+        )
+
+    def _realign(s2):
+        deltas = {
+            delta: d == jnp.float32(delta) for delta in range(-dmax, dmax + 1)
+        }
+        aligned2 = []
+        for k in range(SR):
+            acc = (nanv * jnp.ones_like(bw1),) * 3
+            for delta in range(-dmax, dmax + 1):
+                kk = k - delta
+                if 0 <= kk < SR:
+                    m = deltas[delta]
+                    acc = tuple(
+                        jnp.where(m, s2[kk][v], acc[v]) for v in range(3)
+                    )
+            aligned2.append(tuple(acc))
+        return tuple(aligned2)
+
+    aligned2 = jax.lax.cond(
+        no_shear, _passthrough, _realign, tuple(tuple(r) for r in strip2)
+    )
 
     # per-corner analytic 1/w = minv[3] . [ndcx, ndcy, ndcz, 1]
     sxw = 2.0 / width

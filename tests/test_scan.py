@@ -350,3 +350,62 @@ def test_scan_narrow_march_matches_wide(checker_texture):
     got_wide = run(np.full_like(mid_np, -1))
     same = (got_narrow == got_wide).all(axis=-1).mean()
     assert same > 0.999, f"narrow vs wide agreement {same:.4%}"
+
+
+def test_scan_slot_gate_matches_full(checker_texture):
+    """The per-(band, chunk) slot-1 capture gate must be bit-exact: prep's
+    monotonicity-violation count provably covers every double crossing, so
+    rendering with the computed gate bits equals forcing every chunk through
+    the full nbr-slot capture body. The scene needs real folds (a depth step)
+    so gated and ungated chunks both occur."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = 65
+    W, H = 96, 72
+    depth = rng.uniform(0.55, 0.6, (n, n))
+    # Slot 1 fires only when ONE COLUMN's polyline crosses a scanline twice,
+    # i.e. sy is non-monotone ALONG the column — a horizontal silhouette
+    # (row-wise depth step) seen from a tilted camera, not the vertical fold
+    # class (which occludes across columns within one crossing each).
+    depth[n // 2:, :] += 0.8
+    xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(1, -1, n))
+    verts = np.stack([xs, ys, depth], axis=-1).astype(np.float32)
+    mvp = (
+        np.asarray(transforms.perspective(25.0, W / H))
+        @ np.asarray(transforms.translation(dz=-3.0))
+        @ np.asarray(transforms.rotation(np.deg2rad(25.0), axis=Axis.X))
+    ).astype(np.float32)
+
+    cfg = CFG_MED
+    win, w0, bounds, canch, mid, _ = raster_scan._prep_scan(
+        jnp.asarray(mvp), jnp.asarray(verts), W, H, cfg)
+    bounds_np = np.asarray(bounds)
+    gate_bits = (bounds_np >> 24) & 1
+    assert gate_bits.any(), "expected some multi-crossing chunks (fold scene)"
+    assert (gate_bits == 0).any(), "expected some gated (monotone) chunks"
+
+    minv = np.linalg.inv(np.asarray(mvp, np.float64))
+    minv_rows = jnp.asarray(
+        np.concatenate([minv[2], minv[3]]).astype(np.float32))
+    tex = checker_texture.astype(np.float32)
+    ht, wt = tex.shape[0], tex.shape[1]
+    rpad_t = max(-(-ht // 8) * 8, cfg.tex_rows)
+    cpad_t = max(-(-wt // 128) * 128, cfg.tex_cols)
+    texq = raster_scan._pack_texture(jnp.asarray(tex), rpad_t, cpad_t)
+
+    def run(bounds_arr):
+        with pltpu.force_tpu_interpret_mode():
+            bands = raster_scan._raster_scan_pallas(
+                jnp.asarray(win)[None], texq, (ht, wt), minv_rows[None],
+                jnp.asarray(w0)[None], jnp.asarray(bounds_arr)[None],
+                jnp.asarray(canch)[None], jnp.asarray(mid)[None],
+                W, H, n, n, cfg, mode="texture", interpret=True)
+        u8 = np.asarray(bands).view(np.uint8).reshape(1, -1, bands.shape[-1], 4)
+        return u8[0, :H, :W]
+
+    got_gated = run(bounds_np)
+    got_full = run(bounds_np | (1 << 24))
+    assert (got_gated == got_full).all(), (
+        f"slot-gate mismatch on {(got_gated != got_full).any(-1).sum()} px"
+    )

@@ -106,6 +106,16 @@ class ScanConfig:
     dmax: int | None = None
     edge_cull_threshold: float | None = None
     big_grid: bool = False
+    # Pack each strip row's (sx, sy) into ONE 16.16-bit fixed-point plane
+    # (1/16 px, offset 2048 -> [-2048, +2048) px; GL rasterisers snap to a
+    # comparable subpixel grid). Cuts the record fetch from 2 + 3*sr to
+    # 2 + 2*sr gathers per pair and the capture/realign selects by a third;
+    # corners unpack once per exact pass. Quantisation moves edges <= 1/32
+    # px; coords outside the range clamp (off-screen stretched-fold corners
+    # only — the z channel stays exact f32, so depth tests and near-plane
+    # rejection are unaffected). Standard-variant only (4K big_grid screen
+    # coords exceed the range).
+    pack_xy: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -124,11 +134,14 @@ class ScanConfig:
         assert self.rmax < (512 if self.big_grid else 4096)
         assert self.tex_rows % 8 == 0 and self.tex_cols % 128 == 0
         assert self.dmax is None or 1 <= self.dmax <= self.sr - 1
+        assert not (self.pack_xy and self.big_grid), \
+            "pack_xy is standard-variant only (4K coords exceed its range)"
 
     @property
     def nrec(self) -> int:
-        """f32 record planes per slot: sxc, zc, basew + sr * (sx, sy, z)."""
-        return 3 + 3 * self.sr
+        """f32 record planes per slot: sxc, zc, basew + sr strip rows of
+        (sx, sy, z) — or (packed_xy, z) when ``pack_xy``."""
+        return 3 + (2 if self.pack_xy else 3) * self.sr
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -226,6 +239,26 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
 # ---------------------------------------------------------------------------
 # Texture packing (XLA, once per texture)
 # ---------------------------------------------------------------------------
+
+
+def _pack2_xy(x, y):
+    """Pack (sx, sy) into one 16+16-bit fixed-point word (1/16 px, offset
+    2048 px -> representable range [-2048, +2048)), bit-stored as f32 so it
+    rides the existing f32 record planes. Kernel-safe ops only (round, clip,
+    int32 shift/or, pltpu.bitcast)."""
+    xi = jnp.clip(jnp.round((x + 2048.0) * 16.0), 0.0, 65535.0).astype(
+        jnp.int32)
+    yi = jnp.clip(jnp.round((y + 2048.0) * 16.0), 0.0, 65535.0).astype(
+        jnp.int32)
+    return pltpu.bitcast((xi << 16) | yi, jnp.float32)
+
+
+def _unpack2_xy(p):
+    """Inverse of :func:`_pack2_xy` (arithmetic shift + mask == logical)."""
+    pi = pltpu.bitcast(p, jnp.int32)
+    x = ((pi >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 16.0) - 2048.0
+    y = (pi & 0xFFFF).astype(jnp.float32) * (1.0 / 16.0) - 2048.0
+    return x, y
 
 
 @functools.partial(jax.jit, static_argnames=("rpad", "cpad"))
@@ -331,24 +364,37 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     ke_cap = config.rmax - tail - 1
 
     # Multi-crossing flag per (band, chunk) — the slot-1 capture gate
-    # (round 3). A scanline can cross a column's polyline twice only where
-    # the column's projected sy is NON-monotone inside the scanned row range
-    # (folds / near-plane masking); a cumulative count of per-chunk
-    # monotonicity violations makes the per-(band, chunk) test two gathers.
-    # Chunks with a zero count provably never fire crossing slot 1, and the
-    # kernel runs a capture body with the slot-1 strip selects deleted
-    # (~44% of the capture cost at nbr=2). The flag rides bit 24 (standard)
-    # / bit 28 (big_grid) of the packed bounds word; every unpacker masks.
-    viol = win[1][1:, :] > win[1][:-1, :]                    # (RPAD-1, CL)
-    violc = viol.reshape(RPAD - 1, nchunks, 128).any(axis=2)
-    psum_ex = jnp.concatenate(
-        [jnp.zeros((1, nchunks), jnp.int32),
-         jnp.cumsum(violc.astype(jnp.int32), axis=0)], axis=0)  # (RPAD, nch)
+    # (round 3). A scanline qy can cross a column's polyline twice only if
+    # the column's sy comes back UP over that same qy between the two down-
+    # crossings: an up-step pair (s[k] < qy <= s[k+1]) inside the scanned
+    # row range. Per chunk, track each up-step row's straddle interval
+    # (min s[k] / max s[k+1] over the chunk's violating columns — mixing
+    # columns is conservative) and flag a band iff some scanned row's
+    # interval meets the band's [qy_bot, qy_top]. Chunks left unflagged
+    # provably never fire crossing slot 1, and the kernel runs a capture
+    # body with the slot-1 strip selects deleted (~44% of the capture cost
+    # at nbr=2). The flag rides bit 24 (standard) / bit 28 (big_grid) of
+    # the packed bounds word; every unpacker masks. Measured flag rate at
+    # d10/1080p sway: 55-64% of non-empty chunks with a row-range-only
+    # test; the qy-straddle refinement cuts the rate further at ~1.7M
+    # elementwise ops per frame.
+    up = win[1][1:, :] > win[1][:-1, :]                      # (RPAD-1, CL)
+    inf = jnp.float32(3.0e38)
+    up_lo = jnp.where(up, win[1][:-1, :], inf)               # s[k] of up-steps
+    up_hi = jnp.where(up, win[1][1:, :], -inf)               # s[k+1]
+    lo_c = up_lo.reshape(RPAD - 1, nchunks, 128).min(axis=2)
+    hi_c = up_hi.reshape(RPAD - 1, nchunks, 128).max(axis=2)
+    ks_r = jnp.arange(RPAD - 1, dtype=jnp.int32)
 
     def _multi_flag(kb_g, ke_g):
-        hi = jnp.take_along_axis(psum_ex, jnp.clip(ke_g, 0, RPAD - 1), axis=0)
-        lo = jnp.take_along_axis(psum_ex, jnp.clip(kb_g, 0, RPAD - 1), axis=0)
-        return ((hi - lo) > 0).astype(jnp.int32)
+        # kb_g/ke_g: (nbands, nchunks) global scan bounds (pairs [kb, ke)).
+        cond = (
+            (ks_r[None, :, None] >= kb_g[:, None, :])
+            & (ks_r[None, :, None] < ke_g[:, None, :])
+            & (lo_c[None] < qy_top[:, None, None])
+            & (hi_c[None] >= qy_bot[:, None, None])
+        )
+        return jnp.any(cond, axis=1).astype(jnp.int32)
     if config.big_grid:
         # Per-chunk window origin: each 128-column chunk DMAs its own
         # (3, rmax, 128) row window; bounds pack (w0c_units | kb<<10 |
@@ -605,13 +651,30 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             multi2 = (bnd >> 24) & 1  # slot-1 capture gate (prep cumsum)
             k_base = jnp.float32(0.0)
 
+        # Capture channels per strip row: (sx, sy, z), or (packed_xy, z)
+        # when pack_xy — the pack happens ONCE per loaded 8-row block, so
+        # the per-row-step capture selects drop from 3 to 2 per strip row.
+        NCH = 2 if config.pack_xy else 3
+
+        def load_all(b):
+            blk = tuple(load_block(v, b, chunk) for v in range(3))
+            if config.pack_xy:
+                return blk + (_pack2_xy(blk[0], blk[1]),)
+            return blk
+
+        def cap_row(blk, r0, r1):
+            """Capture-channel row [r0:r1] of a loaded block."""
+            if config.pack_xy:
+                return (blk[3][r0:r1], blk[2][r0:r1])
+            return tuple(blk[v][r0:r1] for v in range(3))
+
         def init_slot():
             zero = jnp.zeros((8, 128), jnp.float32)
             return (
                 jnp.full((8, 128), _FAR, jnp.float32),   # sxc
                 jnp.full((8, 128), _FAR, jnp.float32),   # zc
                 jnp.full((8, 128), _NOBASE, jnp.float32),  # basew
-                tuple(tuple(zero for _ in range(3)) for _ in range(SR)),
+                tuple(tuple(zero for _ in range(NCH)) for _ in range(SR)),
             )
 
         tail = SR - OFF - 1
@@ -631,7 +694,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             def body(b, carry):
                 cnt, slots, ring, cur = carry
                 bn = jnp.minimum(b + 1, nrow_blocks - 1)
-                nxt = tuple(load_block(v, bn, chunk) for v in range(3))
+                nxt = load_all(bn)
                 for j in range(8):
                     k = b * 8 + j
                     kf = k.astype(jnp.float32) + k_base
@@ -640,7 +703,10 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                         cur[v][j + 1 : j + 2] if j < 7 else nxt[v][0:1]
                         for v in range(3)
                     )
-                    ring = (row0,) + ring[1:]  # ring[m] = win row k - m
+                    crow0 = cap_row(cur, j, j + 1)
+                    crow1 = (cap_row(cur, j + 1, j + 2) if j < 7
+                             else cap_row(nxt, 0, 1))
+                    ring = (crow0,) + ring[1:]  # ring[m] = win row k - m
                     s_hi = row0[1]
                     s_lo = row1[1]
                     cross = (
@@ -670,38 +736,39 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                             row_vals = []
                             if sj <= OFF:
                                 src = ring[OFF - sj]  # win[k - off + sj]
-                                for v in range(3):
+                                for v in range(NCH):
                                     row_vals.append(
                                         jnp.where(fire, src[v], strips[sj][v])
                                     )
                             elif sj == OFF + 1:
-                                for v in range(3):
+                                for v in range(NCH):
                                     row_vals.append(
-                                        jnp.where(fire, row1[v], strips[sj][v])
+                                        jnp.where(fire, crow1[v],
+                                                  strips[sj][v])
                                     )
                             else:
                                 # deferred: capture row k+1 into records whose
                                 # strip row sj is that row:
                                 # basew - off + sj == k+1
                                 m = bw_s == (kf + 1.0 - jnp.float32(sj - OFF))
-                                for v in range(3):
+                                for v in range(NCH):
                                     row_vals.append(
-                                        jnp.where(m, row1[v], strips[sj][v])
+                                        jnp.where(m, crow1[v], strips[sj][v])
                                     )
                             new_strips.append(tuple(row_vals))
                         new_slots.append((sxc_s, zc_s, bw_s,
                                           tuple(new_strips)))
                     slots = tuple(new_slots)
                     cnt = cnt + jnp.where(cross, 1.0, 0.0)
-                    ring = (row0,) + ring[:-1]  # shift: next k-1 is this k
+                    ring = (crow0,) + ring[:-1]  # shift: next k-1 is this k
                 return cnt, slots, ring, nxt
             return body
 
         cnt0 = jnp.zeros((8, 128), jnp.float32)
         slots0 = tuple(init_slot() for _ in range(NBR))
         zero_row = jnp.zeros((1, 128), jnp.float32)
-        ring0 = tuple((zero_row,) * 3 for _ in range(OFF + 1))
-        cur0 = tuple(load_block(v, b_begin, chunk) for v in range(3))
+        ring0 = tuple((zero_row,) * NCH for _ in range(OFF + 1))
+        cur0 = load_all(b_begin)
         init = (cnt0, slots0, ring0, cur0)
         if NBR >= 2:
             _, slots, _, _ = jax.lax.cond(
@@ -724,16 +791,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             rec_ref[s, 1, :, csl] = zc_s
             rec_ref[s, 2, :, csl] = bw_s
             for j in range(SR):
-                for v in range(3):
-                    rec_ref[s, 3 + j * 3 + v, :, csl] = strips[j][v]
+                for v in range(NCH):
+                    rec_ref[s, 3 + j * NCH + v, :, csl] = strips[j][v]
         return 0
 
-    jax.lax.fori_loop(0, nchunks, solve_chunk, 0)
+    if phases != "noop":  # profiling: noop isolates grid-step + DMA overhead
+        jax.lax.fori_loop(0, nchunks, solve_chunk, 0)
 
     # Sublane-major crossing curves for the march (one transpose per band).
     # big_grid marches straight off the record planes through 128-aligned
     # lane slices + per-block transposes instead (16x less VMEM at d12).
-    if not config.big_grid:
+    if not config.big_grid and phases != "noop":
         for s in range(NBR):
             curve_ref[s, 0] = jnp.transpose(rec_ref[s, 0], (1, 0))
             curve_ref[s, 1] = jnp.transpose(rec_ref[s, 1], (1, 0))
@@ -1257,17 +1325,20 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
     winner carry (min z, ties to lowest triangle id)."""
     SR, OFF = config.sr, config.off
+    NCH = 2 if config.pack_xy else 3  # strip channels: (pxy, z) or (sx,sy,z)
     j1 = j_i
     j2 = j_i + 1
 
     bw1 = gather_rec(s, 2, canch, j1, base)
     bw2 = gather_rec(s, 2, canch, j2, base)
     strip1 = [
-        tuple(gather_rec(s, 3 + j * 3 + v, canch, j1, base) for v in range(3))
+        tuple(gather_rec(s, 3 + j * NCH + v, canch, j1, base)
+              for v in range(NCH))
         for j in range(SR)
     ]
     strip2 = [
-        tuple(gather_rec(s, 3 + j * 3 + v, canch, j2, base) for v in range(3))
+        tuple(gather_rec(s, 3 + j * NCH + v, canch, j2, base)
+              for v in range(NCH))
         for j in range(SR)
     ]
 
@@ -1293,7 +1364,7 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
 
     def _passthrough(s2):
         return tuple(
-            (r[0], r[1], jnp.where(valid2, r[2], nanv)) for r in s2
+            tuple(r[:-1]) + (jnp.where(valid2, r[-1], nanv),) for r in s2
         )
 
     def _realign(s2):
@@ -1302,13 +1373,13 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         }
         aligned2 = []
         for k in range(SR):
-            acc = (nanv * jnp.ones_like(bw1),) * 3
+            acc = (nanv * jnp.ones_like(bw1),) * NCH
             for delta in range(-dmax, dmax + 1):
                 kk = k - delta
                 if 0 <= kk < SR:
                     m = deltas[delta]
                     acc = tuple(
-                        jnp.where(m, s2[kk][v], acc[v]) for v in range(3)
+                        jnp.where(m, s2[kk][v], acc[v]) for v in range(NCH)
                     )
             aligned2.append(tuple(acc))
         return tuple(aligned2)
@@ -1316,6 +1387,18 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     aligned2 = jax.lax.cond(
         no_shear, _passthrough, _realign, tuple(tuple(r) for r in strip2)
     )
+
+    if config.pack_xy:
+        # Unpack ONCE per exact pass (after realign, so the pyramid's
+        # selects ran on 2 planes); downstream sees (sx, sy, z) as before.
+        # A NaN-poisoned z row keeps its rejection role; the unpacked x/y
+        # of missing rows are bounded garbage the failed zz test ignores.
+        def _unp(row):
+            x, y = _unpack2_xy(row[0])
+            return (x, y, row[1])
+
+        strip1 = [_unp(r) for r in strip1]
+        aligned2 = tuple(_unp(r) for r in aligned2)
 
     # per-corner analytic 1/w = minv[3] . [ndcx, ndcy, ndcz, 1]
     sxw = 2.0 / width

@@ -73,31 +73,36 @@ texq = raster_scan._pack_texture(texture, rpt, cpt)
 t_prep, prep = timeit(
     "prep (XLA)",
     lambda: raster_scan._prep_scan_batched(mvps, vgrid, W, H, scfg))
-win, w0, bounds, canch, _ = prep
+win, w0, bounds, canch, mid, _ = prep
 
+t_noop, _ = timeit(
+    "kernel noop (step+DMA)",
+    lambda: raster_scan._raster_scan_pallas(
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg,
+        phases="noop"))
 t_nocap, _ = timeit(
     "kernel solve-nocapture",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg,
         phases="solve_nocap"))
 t_solve, _ = timeit(
     "kernel solve-only",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg,
         phases="solve"))
 t_march, _ = timeit(
     "kernel march-only",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg,
         phases="march_only"))
 t_attrs, bands = timeit(
     "kernel attrs (no shade)",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg))
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg))
 t_all, rgba = timeit(
     "kernel + in-kernel shade",
     lambda: raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_b, w0, bounds, canch, W, H, n, n, scfg,
+        win, texq, (ht, wt), minv_b, w0, bounds, canch, mid, W, H, n, n, scfg,
         mode="texture"))
 t_shade, _ = timeit(
     "XLA shade (legacy)",
@@ -105,11 +110,14 @@ t_shade, _ = timeit(
 t_asm, _ = timeit(
     "rgba assembly (XLA)",
     lambda: raster_scan._assemble_rgba_batched(rgba, W, H))
-(t_prep, t_nocap, t_solve, t_march, t_attrs, t_all, t_shade, t_asm) = (
-    x / T for x in (t_prep, t_nocap, t_solve, t_march, t_attrs, t_all,
-                    t_shade, t_asm))
+(t_prep, t_noop, t_nocap, t_solve, t_march, t_attrs, t_all, t_shade,
+ t_asm) = (
+    x / T for x in (t_prep, t_noop, t_nocap, t_solve, t_march, t_attrs,
+                    t_all, t_shade, t_asm))
 print(f"(per frame at group T={T})")
 
+print(f"{'step+DMA overhead':>24}: {t_noop:8.2f} ms")
+print(f"{'solve-nocap (delta)':>24}: {t_nocap - t_noop:8.2f} ms")
 print(f"{'strip capture (delta)':>24}: {t_solve - t_nocap:8.2f} ms")
 print(f"{'march alone (delta)':>24}: {t_march - t_solve:8.2f} ms")
 print(f"{'fetch+exact (delta)':>24}: {t_attrs - t_march:8.2f} ms")

@@ -368,13 +368,17 @@ def test_scan_slot_gate_matches_full(checker_texture):
     # i.e. sy is non-monotone ALONG the column — a horizontal silhouette
     # (row-wise depth step) seen from a tilted camera, not the vertical fold
     # class (which occludes across columns within one crossing each).
-    depth[n // 2:, :] += 0.8
+    # 98 TRUE double crossings at these parameters (host-counted from the
+    # projected window; both sheets visible), with 7/9 chunks flagged and 2
+    # provably-monotone chunks gated — so the comparison exercises both
+    # solve bodies against real slot-1 records.
+    depth[n // 2:, :] += 0.3
     xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(1, -1, n))
     verts = np.stack([xs, ys, depth], axis=-1).astype(np.float32)
     mvp = (
         np.asarray(transforms.perspective(25.0, W / H))
-        @ np.asarray(transforms.translation(dz=-3.0))
-        @ np.asarray(transforms.rotation(np.deg2rad(25.0), axis=Axis.X))
+        @ np.asarray(transforms.translation(dz=-2.2))
+        @ np.asarray(transforms.rotation(np.deg2rad(45.0), axis=Axis.X))
     ).astype(np.float32)
 
     cfg = CFG_MED
@@ -409,3 +413,53 @@ def test_scan_slot_gate_matches_full(checker_texture):
     assert (got_gated == got_full).all(), (
         f"slot-gate mismatch on {(got_gated != got_full).any(-1).sum()} px"
     )
+
+
+def test_scan_pack_xy_matches_unpacked(checker_texture):
+    """pack_xy stores strip (sx, sy) at 1/16-px fixed point; the render must
+    match the unpacked path up to that quantisation (edges move <= 1/32 px).
+    Run both a smooth scene and the slot-gate fold scene so the packed
+    realign/passthrough paths are both exercised."""
+    import jax.numpy as jnp
+
+    def render(depth_fn, rot, dz, pack):
+        rng = np.random.default_rng(11)
+        n = 65
+        W, H = 96, 72
+        depth = depth_fn(rng, n)
+        xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(1, -1, n))
+        verts = np.stack([xs, ys, depth], axis=-1).astype(np.float32)
+        uvs = np.stack(np.meshgrid(np.linspace(0, 1, n),
+                                   np.linspace(1, 0, n)), -1
+                       ).reshape(-1, 2).astype(np.float32)
+        mvp = (
+            np.asarray(transforms.perspective(25.0, W / H))
+            @ np.asarray(transforms.translation(dz=dz))
+            @ np.asarray(transforms.rotation(np.deg2rad(rot), axis=Axis.X))
+        ).astype(np.float32)
+        cfg = ScanConfig(rmax=40, cw=128, sr=10, off=4, pack_xy=pack)
+        return _render_scan(verts.reshape(-1, 3), uvs, mvp,
+                            checker_texture.astype(np.float32), W, H, cfg)
+
+    smooth = lambda rng, n: rng.uniform(0.55, 0.65, (n, n))
+
+    def folded(rng, n):
+        d = rng.uniform(0.55, 0.6, (n, n))
+        d[n // 2:, :] += 0.3
+        return d
+
+    for name, fn, rot, dz in (("smooth", smooth, 5.0, -3.0),
+                              ("folded", folded, 45.0, -2.2)):
+        a = render(fn, rot, dz, False)
+        b = render(fn, rot, dz, True)
+        same = (a == b).all(axis=-1).mean()
+        # At this toy scale cells are ~1 px, so ~4% of pixels sit within the
+        # 1/32-px quantisation band of an edge and legitimately flip (checker
+        # texture makes any flip a full-color diff). The thresholds here are
+        # a STRUCTURAL gate (mis-indexed planes render garbage, not 90%+
+        # agreement); the production-scale quality verdict is the bench's
+        # scan-vs-grid flip-rate/PSNR diagnostics under --scan-overrides
+        # pack_xy=1.
+        assert same > 0.90, f"{name}: packed vs unpacked agreement {same:.4%}"
+        cov_same = ((a[..., 3] > 0) == (b[..., 3] > 0)).mean()
+        assert cov_same > 0.97, f"{name}: coverage agreement {cov_same:.4%}"

@@ -949,12 +949,13 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     multi = jnp.max(cnt_acc) > 1.5
 
                     def hyp2_body(b, s=s, sxc_t=sxc_t, zc_t=zc_t):
+                        sx_r = pltpu.roll(sxc_t, MW - 1, 0)
                         hyp2 = []
                         for y in range(8):
                             c = sxc_t[:, y : y + 1]
                             zz = zc_t[:, y : y + 1]
                             f = c - (qx[y : y + 1, :])
-                            f2 = pltpu.roll(f, MW - 1, 0)
+                            f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
                             hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)
@@ -989,13 +990,18 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     # (`mid`), and only fold-heavy blocks (span > 126 cols)
                     # fall back to the full dense cw sweep.
                     def _sweep(sx_w, zz_w, iota_w, Lw):
+                        # One (Lw, 8) curve roll replaces 8 (Lw, 128) f-rolls:
+                        # f2[c] = sx[(c+1) % Lw] - qx, bit-identical to
+                        # roll(f, Lw-1) (sublane rotation of the full f tile
+                        # measured as the march's most expensive per-y op).
+                        sx_r = pltpu.roll(sx_w, Lw - 1, 0)
                         hyp1 = []
                         counts = []
                         for y in range(8):
                             c = sx_w[:, y : y + 1]       # (Lw, 1)
                             zz = zz_w[:, y : y + 1]
                             f = c - (qx[y : y + 1, :])   # (Lw, 128)
-                            f2 = pltpu.roll(f, Lw - 1, 0)
+                            f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
                             hit = (f * f2 <= 0.0) & (iota_w < Lw - 1)
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)
@@ -1066,12 +1072,13 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     def chunk_body(carry, sub=sub, subz=subz, pmask=pmask,
                                    iota_lf=iota_lf, lo=lo, L=L):
                         m1_a, o1_a, cnt_a = carry
+                        sub_r = pltpu.roll(sub, L - 1, 0)
                         m1s, o1s, cnts = [], [], []
                         for y in range(8):
                             c = sub[:, y : y + 1]     # (L, 1)
                             zz = subz[:, y : y + 1]
                             f = c - (qx[y : y + 1, :])  # (L, 128)
-                            f2 = pltpu.roll(f, L - 1, 0)
+                            f2 = sub_r[:, y : y + 1] - (qx[y : y + 1, :])
                             hit = (f * f2 <= 0.0) & pmask
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)

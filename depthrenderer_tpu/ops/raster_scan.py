@@ -1453,6 +1453,7 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     bz, bid, buw, bvw, biw, bml = best
     qy = qy_col * jnp.ones_like(qx)
 
+    prev_bottom = None
     for k in range(SR - 1):
         r_cell = rg0 + jnp.float32(k)
         cell_ok = col_ok & (r_cell >= 0.0) & (r_cell <= jnp.float32(n_r - 2))
@@ -1465,15 +1466,35 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         i00, i10, i01, i11 = iw1[k], iw1[k + 1], iw2[k], iw2[k + 1]
         base_id = (r_cell * jnp.float32(n_c - 1) + cg) * 2.0
 
+        # Shared edge functions (round 3): the two triangles' common
+        # diagonal and vertically-adjacent cells' common horizontal edge
+        # are each computed ONCE and NEGATED for the other side — 4
+        # cross-products per cell instead of 6, and GL-style watertight
+        # shared edges (the two sides see exactly opposite signs, so a
+        # pixel on the edge can never be double-covered or dropped by
+        # independent-rounding disagreement). NaN corners poison both
+        # users of a shared edge identically (same corner rows).
+        diag_e = (x01 - x10) * (qy - y10) - (y01 - y10) * (qx - x10)
+        left_e = (x10 - x00) * (qy - y00) - (y10 - y00) * (qx - x00)
+        if prev_bottom is None:
+            top_e = (x00 - x01) * (qy - y01) - (y00 - y01) * (qx - x01)
+        else:
+            top_e = -prev_bottom
+        bottom_e = (x11 - x10) * (qy - y10) - (y11 - y10) * (qx - x10)
+        right_e = (x01 - x11) * (qy - y11) - (y01 - y11) * (qx - x11)
+        prev_bottom = bottom_e
+
         for diag in (0, 1):
             if diag == 0:
                 ax, ay, az, aiw, au, av = x00, y00, z00, i00, u0, v_top
                 bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
                 cx, cy, cz, ciw, cu, cv = x01, y01, z01, i01, u1, v_top
+                e0, e1, e2 = diag_e, top_e, left_e
             else:
                 ax, ay, az, aiw, au, av = x01, y01, z01, i01, u1, v_top
                 bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
                 cx, cy, cz, ciw, cu, cv = x11, y11, z11, i11, u1, v_bot
+                e0, e1, e2 = bottom_e, right_e, -diag_e
 
             area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             ok = cell_ok & (area2 > 1e-12)
@@ -1487,9 +1508,6 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
                 ) - jnp.minimum(jnp.minimum(zms[0], zms[1]), zms[2])
                 ok = ok & (spread <= jnp.float32(config.edge_cull_threshold))
             inv_a = jnp.where(ok, 1.0 / jnp.where(ok, area2, 1.0), 0.0)
-            e0 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
-            e1 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
-            e2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
             l0 = e0 * inv_a
             l1 = e1 * inv_a
             l2 = e2 * inv_a

@@ -949,28 +949,53 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     multi = jnp.max(cnt_acc) > 1.5
 
                     def hyp2_body(b, s=s, sxc_t=sxc_t, zc_t=zc_t):
-                        sx_r = pltpu.roll(sxc_t, MW - 1, 0)
-                        hyp2 = []
-                        for y in range(8):
-                            c = sxc_t[:, y : y + 1]
-                            zz = zc_t[:, y : y + 1]
-                            f = c - (qx[y : y + 1, :])
-                            f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
-                            hit = (f * f2 <= 0.0) & (iota_cw < MW - 1)
-                            key = jnp.where(hit, zz, _FAR)
-                            m1 = jnp.min(key, axis=0, keepdims=True)
-                            o1 = jnp.min(
-                                jnp.where(key == m1, iota_cw, jnp.float32(MW)),
-                                axis=0, keepdims=True,
-                            )
-                            key2 = jnp.where(iota_cw == o1, _FAR, key)
-                            m2 = jnp.min(key2, axis=0, keepdims=True)
-                            o2 = jnp.min(
-                                jnp.where(key2 == m2, iota_cw, jnp.float32(MW)),
-                                axis=0, keepdims=True,
-                            )
-                            hyp2.append(o2)
-                        h2 = jnp.concatenate(hyp2, axis=0)
+                        def _sweep2(sx_w, zz_w, iota_w, Lw):
+                            sx_r = pltpu.roll(sx_w, Lw - 1, 0)
+                            hyp2 = []
+                            for y in range(8):
+                                c = sx_w[:, y : y + 1]
+                                zz = zz_w[:, y : y + 1]
+                                f = c - (qx[y : y + 1, :])
+                                f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
+                                hit = (f * f2 <= 0.0) & (iota_w < Lw - 1)
+                                key = jnp.where(hit, zz, _FAR)
+                                m1 = jnp.min(key, axis=0, keepdims=True)
+                                o1 = jnp.min(
+                                    jnp.where(key == m1, iota_w,
+                                              jnp.float32(Lw)),
+                                    axis=0, keepdims=True,
+                                )
+                                key2 = jnp.where(iota_w == o1, _FAR, key)
+                                m2 = jnp.min(key2, axis=0, keepdims=True)
+                                o2 = jnp.min(
+                                    jnp.where(key2 == m2, iota_w,
+                                              jnp.float32(Lw)),
+                                    axis=0, keepdims=True,
+                                )
+                                hyp2.append(o2)
+                            return jnp.concatenate(hyp2, axis=0)
+
+                        # The 2nd-hypothesis resweep rides the same prep-
+                        # centered narrow window as hypothesis 1 (prep's
+                        # pair-base bound covers ALL crossings of the
+                        # block, so the 2nd-lowest-z one is inside too).
+                        if (config.big_grid or config.cw <= 128
+                                or MW // 128 >= 4):
+                            h2 = _sweep2(sxc_t, zc_t, iota_cw, MW)
+                        else:
+                            def n2(_):
+                                off8 = (canch_ref[t, blk] + mid) * 8
+                                sxn = curve_ref[s, 0, pl.ds(off8, 128), :]
+                                zcn = curve_ref[s, 1, pl.ds(off8, 128), :]
+                                h2n = _sweep2(sxn, zcn, iota_nw, 128)
+                                sent = h2n >= jnp.float32(127.5)
+                                h2n = h2n + (mid * 8).astype(jnp.float32)
+                                return jnp.where(sent, jnp.float32(MW), h2n)
+
+                            def w2(_):
+                                return _sweep2(sxc_t, zc_t, iota_cw, MW)
+
+                            h2 = jax.lax.cond(mid >= 0, n2, w2, 0)
                         return march_one(h2)(b, s)
 
                     best_out = jax.lax.cond(

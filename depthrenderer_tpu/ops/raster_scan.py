@@ -106,15 +106,16 @@ class ScanConfig:
     dmax: int | None = None
     edge_cull_threshold: float | None = None
     big_grid: bool = False
-    # Pack each strip row's (sx, sy) into ONE 16.16-bit fixed-point plane
-    # (1/16 px, offset 2048 -> [-2048, +2048) px; GL rasterisers snap to a
-    # comparable subpixel grid). Cuts the record fetch from 2 + 3*sr to
-    # 2 + 2*sr gathers per pair and the capture/realign selects by a third;
-    # corners unpack once per exact pass. Quantisation moves edges <= 1/32
-    # px; coords outside the range clamp (off-screen stretched-fold corners
-    # only — the z channel stays exact f32, so depth tests and near-plane
-    # rejection are unaffected). Standard-variant only (4K big_grid screen
-    # coords exceed the range).
+    # Pack each strip row's (sx, sy) into ONE 16+16-bit fixed-point plane
+    # (resolution-aware: 1/32 px over a viewport-centered 2048-px span at
+    # 1080p class, 1/16 px over +-2048 otherwise — _pack_qparams; GL
+    # rasterisers snap to a comparable subpixel grid). Cuts the record fetch
+    # from 2 + 3*sr to 2 + 2*sr gathers per pair and the capture/realign
+    # selects by a third; corners unpack once per exact pass. Quantisation
+    # moves edges <= 1/64 px at 1080p; coords outside the span clamp
+    # (off-screen stretched-fold corners only — the z channel stays exact
+    # f32, so depth tests and near-plane rejection are unaffected).
+    # Standard-variant only (4K big_grid screen coords exceed the range).
     pack_xy: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
@@ -241,23 +242,39 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 
-def _pack2_xy(x, y):
-    """Pack (sx, sy) into one 16+16-bit fixed-point word (1/16 px, offset
-    2048 px -> representable range [-2048, +2048)), bit-stored as f32 so it
-    rides the existing f32 record planes. Kernel-safe ops only (round, clip,
-    int32 shift/or, pltpu.bitcast)."""
-    xi = jnp.clip(jnp.round((x + 2048.0) * 16.0), 0.0, 65535.0).astype(
-        jnp.int32)
-    yi = jnp.clip(jnp.round((y + 2048.0) * 16.0), 0.0, 65535.0).astype(
-        jnp.int32)
+def _pack_qparams(width: int, height: int):
+    """Fixed-point parameters for :func:`_pack2_xy`, resolution-aware.
+
+    16 bits per axis span 65536 quantisation steps. When the screen plus a
+    64-px fold margin fits a 2048-px span per axis (every standard-variant
+    config: pack_xy is excluded from big_grid/4K), encode at **1/32 px** over
+    a span centered on the viewport — measured on-chip at 1080p/d10, the
+    original 1/16-px +-2048 coding cost ~1.5-2 dB GL PSNR and +0.14pp
+    scan-vs-grid flips; halving the step recovers most of it. Off-span
+    coordinates clamp (off-screen stretched-fold corners only, the documented
+    candidate-compromise class)."""
+    if width + 128 <= 2048 and height + 128 <= 2048:
+        return 32.0, width * 0.5 - 1024.0, height * 0.5 - 1024.0
+    return 16.0, -2048.0, -2048.0
+
+
+def _pack2_xy(x, y, qp):
+    """Pack (sx, sy) into one 16+16-bit fixed-point word (scale/offsets from
+    :func:`_pack_qparams`), bit-stored as f32 so it rides the existing f32
+    record planes. Kernel-safe ops only (round, clip, int32 shift/or,
+    pltpu.bitcast)."""
+    scale, ox, oy = qp
+    xi = jnp.clip(jnp.round((x - ox) * scale), 0.0, 65535.0).astype(jnp.int32)
+    yi = jnp.clip(jnp.round((y - oy) * scale), 0.0, 65535.0).astype(jnp.int32)
     return pltpu.bitcast((xi << 16) | yi, jnp.float32)
 
 
-def _unpack2_xy(p):
+def _unpack2_xy(p, qp):
     """Inverse of :func:`_pack2_xy` (arithmetic shift + mask == logical)."""
+    scale, ox, oy = qp
     pi = pltpu.bitcast(p, jnp.int32)
-    x = ((pi >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 16.0) - 2048.0
-    y = (pi & 0xFFFF).astype(jnp.float32) * (1.0 / 16.0) - 2048.0
+    x = ((pi >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / scale) + ox
+    y = (pi & 0xFFFF).astype(jnp.float32) * (1.0 / scale) + oy
     return x, y
 
 
@@ -659,7 +676,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         def load_all(b):
             blk = tuple(load_block(v, b, chunk) for v in range(3))
             if config.pack_xy:
-                return blk + (_pack2_xy(blk[0], blk[1]),)
+                return blk + (_pack2_xy(blk[0], blk[1],
+                                        _pack_qparams(width, height)),)
             return blk
 
         def cap_row(blk, r0, r1):
@@ -914,6 +932,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                 cgf - off_f.astype(jnp.float32),
                 qx, qy_col, gather_rec, m2r, m3r, config, width, height, w0f,
                 inv_ncm1, inv_nrm1, n_r, n_c,
+                need_minl=(mode in ("attrs", "wireframe")),
             )
 
         for s in range(NBR):
@@ -1352,7 +1371,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
 
 def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
                   m2r, m3r, config: ScanConfig, width, height, w0f,
-                  inv_ncm1, inv_nrm1, n_r, n_c):
+                  inv_ncm1, inv_nrm1, n_r, n_c, need_minl: bool = True):
     """Fetch record s@j and its right neighbour, realign, run the exact
     edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
     winner carry (min z, ties to lowest triangle id)."""
@@ -1425,8 +1444,10 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         # selects ran on 2 planes); downstream sees (sx, sy, z) as before.
         # A NaN-poisoned z row keeps its rejection role; the unpacked x/y
         # of missing rows are bounded garbage the failed zz test ignores.
+        qp = _pack_qparams(width, height)
+
         def _unp(row):
-            x, y = _unpack2_xy(row[0])
+            x, y = _unpack2_xy(row[0], qp)
             return (x, y, row[1])
 
         strip1 = [_unp(r) for r in strip1]
@@ -1511,14 +1532,14 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
 
         for diag in (0, 1):
             if diag == 0:
-                ax, ay, az, aiw, au, av = x00, y00, z00, i00, u0, v_top
-                bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
-                cx, cy, cz, ciw, cu, cv = x01, y01, z01, i01, u1, v_top
+                ax, ay, az, aiw = x00, y00, z00, i00
+                bx, by, bz_, biw_ = x10, y10, z10, i10
+                cx, cy, cz, ciw = x01, y01, z01, i01
                 e0, e1, e2 = diag_e, top_e, left_e
             else:
-                ax, ay, az, aiw, au, av = x01, y01, z01, i01, u1, v_top
-                bx, by, bz_, biw_, bu, bv = x10, y10, z10, i10, u0, v_bot
-                cx, cy, cz, ciw, cu, cv = x11, y11, z11, i11, u1, v_bot
+                ax, ay, az, aiw = x01, y01, z01, i01
+                bx, by, bz_, biw_ = x10, y10, z10, i10
+                cx, cy, cz, ciw = x11, y11, z11, i11
                 e0, e1, e2 = bottom_e, right_e, -diag_e
 
             area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
@@ -1547,16 +1568,31 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
             )
             tid = base_id + jnp.float32(diag)
             better = cov & ((zz < bz) | ((zz == bz) & (tid < bid)))
-            uw = l0 * (au * aiw) + l1 * (bu * biw_) + l2 * (cu * ciw)
-            vw = l0 * (av * aiw) + l1 * (bv * biw_) + l2 * (cv * ciw)
-            iw = l0 * aiw + l1 * biw_ + l2 * ciw
-            minl = jnp.minimum(l0, jnp.minimum(l1, l2))
+            # Attribute interpolation through 1/w partials (round 3): the
+            # cell corners share u per column and v per row, so uw/vw fold
+            # to iw plus ONE delta term each (du = u1-u0 = inv_ncm1,
+            # dv = v_top-v_bot = inv_nrm1) — 7 muls/4 adds instead of
+            # 15 muls/6 adds per triangle. diag 0 = (c00, c10, c01):
+            # uw = u0*iw + du*p2, vw = v_top*iw - dv*p1; diag 1 =
+            # (c01, c10, c11): uw = u1*iw - du*p1, vw = v_bot*iw + dv*p0.
+            p0 = l0 * aiw
+            p1 = l1 * biw_
+            p2 = l2 * ciw
+            iw = p0 + p1 + p2
+            if diag == 0:
+                uw = u0 * iw + inv_ncm1 * p2
+                vw = v_top * iw - inv_nrm1 * p1
+            else:
+                uw = u1 * iw - inv_ncm1 * p1
+                vw = v_bot * iw + inv_nrm1 * p0
             bz = jnp.where(better, zz, bz)
             bid = jnp.where(better, tid, bid)
             buw = jnp.where(better, uw, buw)
             bvw = jnp.where(better, vw, bvw)
             biw = jnp.where(better, iw, biw)
-            bml = jnp.where(better, minl, bml)
+            if need_minl:  # wireframe/attrs only: the texture path skips it
+                minl = jnp.minimum(l0, jnp.minimum(l1, l2))
+                bml = jnp.where(better, minl, bml)
 
     return bz, bid, buw, bvw, biw, bml
 

@@ -42,9 +42,12 @@ mvp = jnp.asarray(
     (proj @ cam @ np.asarray(sway.transform_at(1.0))).astype(np.float32))
 
 _ov = {}
-for k in ("nbr", "hyps", "sr", "rmax", "cw", "off", "tex_cols", "tex_rows"):
+for k in ("nbr", "hyps", "sr", "rmax", "cw", "off", "tex_cols", "tex_rows",
+          "pack_xy", "dmax"):
     if os.environ.get(k.upper()):
         _ov[k] = int(os.environ[k.upper()])
+if _ov.get("pack_xy") is not None:
+    _ov["pack_xy"] = bool(_ov["pack_xy"])
 scfg = raster_scan.suggest_scan_config(n, W, H, **_ov)
 print("config:", scfg)
 

@@ -106,16 +106,17 @@ class ScanConfig:
     dmax: int | None = None
     edge_cull_threshold: float | None = None
     big_grid: bool = False
-    # Pack each strip row's (sx, sy) into ONE 16+16-bit fixed-point plane
-    # (resolution-aware: 1/32 px over a viewport-centered 2048-px span at
-    # 1080p class, 1/16 px over +-2048 otherwise — _pack_qparams; GL
-    # rasterisers snap to a comparable subpixel grid). Cuts the record fetch
-    # from 2 + 3*sr to 2 + 2*sr gathers per pair and the capture/realign
-    # selects by a third; corners unpack once per exact pass. Quantisation
-    # moves edges <= 1/64 px at 1080p; coords outside the span clamp
-    # (off-screen stretched-fold corners only — the z channel stays exact
-    # f32, so depth tests and near-plane rejection are unaffected).
-    # Standard-variant only (4K big_grid screen coords exceed the range).
+    # Pack each strip row's (sx, sy) into ONE 16+16-bit fixed-point plane,
+    # DELTA-coded at 1/256 px against the record's own crossing x (plane 0)
+    # and the band scanline anchor (``_DELTA_QP``) — finer than llvmpipe's
+    # own subpixel snapping, so the coding is quality-neutral (the earlier
+    # absolute 1/32-px coding cost a measured ~0.7-1.2 dB GL PSNR at
+    # 1080p/d10). Cuts the record fetch from 2 + 2*3*sr to 4 + 2*2*sr
+    # gathers per pair and the realign selects by a third; corners unpack
+    # once per exact pass. Deltas beyond +-128 px clamp (stretched fold
+    # corners only — the documented candidate-compromise class; the z
+    # channel stays exact f32, so depth tests and near-plane rejection are
+    # unaffected). Standard-variant only for now (big_grid untested).
     pack_xy: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
@@ -136,7 +137,7 @@ class ScanConfig:
         assert self.tex_rows % 8 == 0 and self.tex_cols % 128 == 0
         assert self.dmax is None or 1 <= self.dmax <= self.sr - 1
         assert not (self.pack_xy and self.big_grid), \
-            "pack_xy is standard-variant only (4K coords exceed its range)"
+            "pack_xy is standard-variant only (untested with big_grid)"
 
     @property
     def nrec(self) -> int:
@@ -190,9 +191,15 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     measured fold spread (~±40 cells at n=1025).
     """
     rmax_explicit = "rmax" in overrides
+    pack_explicit = "pack_xy" in overrides
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
+    # Delta-coded pack_xy is quality-neutral on chip (GL-golden PSNR -0.15 dB,
+    # flip rate unchanged at 1080p/d10) and saves ~2% frame time — default ON
+    # for the standard variant; the big_grid switch below clears it unless the
+    # caller forced it (then the ScanConfig assert reports the conflict).
+    overrides.setdefault("pack_xy", not overrides.get("big_grid", False))
     # Round-3 production knobs (measured trade-offs, ROADMAP.md): sr=10/off=4
     # (-0.12pp winner agreement) and the +-5 realign cap (-0.22pp) buy
     # ~3.5 ms/frame at d10/1080p; quality-gated by the GL-golden/flip-rate
@@ -233,6 +240,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         # fit big_grid's 9-bit packed bounds, < 512).
         cfg = dataclasses.replace(
             cfg, big_grid=True,
+            pack_xy=cfg.pack_xy if pack_explicit else False,
             rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 
@@ -242,25 +250,29 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 
-def _pack_qparams(width: int, height: int):
-    """Fixed-point parameters for :func:`_pack2_xy`, resolution-aware.
+# Fixed-point parameters for the DELTA-coded strip pack (round 3, v2): strip
+# (sx, sy) are stored relative to the record's own crossing x (``sxc``, record
+# plane 0 — fetched anyway by the march/fetch path) and the band's scanline
+# anchor row. The deltas are tiny away from folds (the strip spans ~sr grid
+# rows around the bracket, a few pixels), so 16 bits buy **1/256-px**
+# resolution over a +-128-px span — finer than llvmpipe's own subpixel
+# snapping, vs the earlier absolute 1/32-px coding that measurably cost
+# ~0.7-1.2 dB GL PSNR at 1080p/d10. Deltas beyond the span clamp (stretched
+# fold corners only — the documented candidate-compromise class; the z channel
+# stays exact f32, so depth tests and near-plane rejection are unaffected).
+_DELTA_QP = (256.0, -128.0, -128.0)
 
-    16 bits per axis span 65536 quantisation steps. When the screen plus a
-    64-px fold margin fits a 2048-px span per axis (every standard-variant
-    config: pack_xy is excluded from big_grid/4K), encode at **1/32 px** over
-    a span centered on the viewport — measured on-chip at 1080p/d10, the
-    original 1/16-px +-2048 coding cost ~1.5-2 dB GL PSNR and +0.14pp
-    scan-vs-grid flips; halving the step recovers most of it. Off-span
-    coordinates clamp (off-screen stretched-fold corners only, the documented
-    candidate-compromise class)."""
-    if width + 128 <= 2048 and height + 128 <= 2048:
-        return 32.0, width * 0.5 - 1024.0, height * 0.5 - 1024.0
-    return 16.0, -2048.0, -2048.0
+
+def _band_anchor_y(i, height: int):
+    """The band's shared sy reference (scanline center of pixel row i*8+4),
+    used by BOTH the capture-time pack and the fetch-time unpack — one
+    expression so the two sides are bit-identical f32."""
+    return jnp.float32(height) - (i * 8).astype(jnp.float32) - 4.0
 
 
 def _pack2_xy(x, y, qp):
     """Pack (sx, sy) into one 16+16-bit fixed-point word (scale/offsets from
-    :func:`_pack_qparams`), bit-stored as f32 so it rides the existing f32
+    ``_DELTA_QP``), bit-stored as f32 so it rides the existing f32
     record planes. Kernel-safe ops only (round, clip, int32 shift/or,
     pltpu.bitcast)."""
     scale, ox, oy = qp
@@ -668,22 +680,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             multi2 = (bnd >> 24) & 1  # slot-1 capture gate (prep cumsum)
             k_base = jnp.float32(0.0)
 
-        # Capture channels per strip row: (sx, sy, z), or (packed_xy, z)
-        # when pack_xy — the pack happens ONCE per loaded 8-row block, so
-        # the per-row-step capture selects drop from 3 to 2 per strip row.
-        NCH = 2 if config.pack_xy else 3
+        # Capture always carries the raw (sx, sy, z) rows; with pack_xy the
+        # (sx, sy) -> one-plane fixed-point pack happens ONCE at record-store
+        # time (below), where the record's own ``sxc`` is known — the delta
+        # reference that keeps the pack near-lossless (see ``_DELTA_QP``).
+        NCH = 3
 
         def load_all(b):
-            blk = tuple(load_block(v, b, chunk) for v in range(3))
-            if config.pack_xy:
-                return blk + (_pack2_xy(blk[0], blk[1],
-                                        _pack_qparams(width, height)),)
-            return blk
+            return tuple(load_block(v, b, chunk) for v in range(3))
 
         def cap_row(blk, r0, r1):
             """Capture-channel row [r0:r1] of a loaded block."""
-            if config.pack_xy:
-                return (blk[3][r0:r1], blk[2][r0:r1])
             return tuple(blk[v][r0:r1] for v in range(3))
 
         def init_slot():
@@ -808,9 +815,20 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             rec_ref[s, 0, :, csl] = sxc_s
             rec_ref[s, 1, :, csl] = zc_s
             rec_ref[s, 2, :, csl] = bw_s
-            for j in range(SR):
-                for v in range(NCH):
-                    rec_ref[s, 3 + j * NCH + v, :, csl] = strips[j][v]
+            if config.pack_xy:
+                # Delta pack at store time: SR packs per chunk per slot (vs
+                # the strip-select pyramid's hundreds of row-step selects).
+                # Lanes without a record have sxc = _FAR; the clamped garbage
+                # plane is masked downstream by bw = _NOBASE.
+                ay = _band_anchor_y(i, height)
+                for j in range(SR):
+                    rec_ref[s, 3 + j * 2, :, csl] = _pack2_xy(
+                        strips[j][0] - sxc_s, strips[j][1] - ay, _DELTA_QP)
+                    rec_ref[s, 3 + j * 2 + 1, :, csl] = strips[j][2]
+            else:
+                for j in range(SR):
+                    for v in range(3):
+                        rec_ref[s, 3 + j * 3 + v, :, csl] = strips[j][v]
         return 0
 
     if phases != "noop":  # profiling: noop isolates grid-step + DMA overhead
@@ -933,6 +951,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                 qx, qy_col, gather_rec, m2r, m3r, config, width, height, w0f,
                 inv_ncm1, inv_nrm1, n_r, n_c,
                 need_minl=(mode in ("attrs", "wireframe")),
+                anchor_y=_band_anchor_y(i, height) if config.pack_xy
+                else None,
             )
 
         for s in range(NBR):
@@ -1371,7 +1391,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
 
 def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
                   m2r, m3r, config: ScanConfig, width, height, w0f,
-                  inv_ncm1, inv_nrm1, n_r, n_c, need_minl: bool = True):
+                  inv_ncm1, inv_nrm1, n_r, n_c, need_minl: bool = True,
+                  anchor_y=None):
     """Fetch record s@j and its right neighbour, realign, run the exact
     edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
     winner carry (min z, ties to lowest triangle id)."""
@@ -1382,6 +1403,12 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
 
     bw1 = gather_rec(s, 2, canch, j1, base)
     bw2 = gather_rec(s, 2, canch, j2, base)
+    if config.pack_xy:
+        # The packed strips are deltas against their column's crossing x
+        # (plane 0) — two extra gathers buy the near-lossless 1/256-px
+        # coding (vs 2*sr*3 unpacked strip gathers saved).
+        sxc1 = gather_rec(s, 0, canch, j1, base)
+        sxc2 = gather_rec(s, 0, canch, j2, base)
     strip1 = [
         tuple(gather_rec(s, 3 + j * NCH + v, canch, j1, base)
               for v in range(NCH))
@@ -1444,14 +1471,15 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         # selects ran on 2 planes); downstream sees (sx, sy, z) as before.
         # A NaN-poisoned z row keeps its rejection role; the unpacked x/y
         # of missing rows are bounded garbage the failed zz test ignores.
-        qp = _pack_qparams(width, height)
+        # Deltas rebase on the fetched column crossing x (sxc1/sxc2 — the
+        # realign shifts rows WITHIN a column, so each side keeps its own
+        # reference) and the band scanline anchor.
+        def _unp(row, ref):
+            x, y = _unpack2_xy(row[0], _DELTA_QP)
+            return (x + ref, y + anchor_y, row[1])
 
-        def _unp(row):
-            x, y = _unpack2_xy(row[0], qp)
-            return (x, y, row[1])
-
-        strip1 = [_unp(r) for r in strip1]
-        aligned2 = tuple(_unp(r) for r in aligned2)
+        strip1 = [_unp(r, sxc1) for r in strip1]
+        aligned2 = tuple(_unp(r, sxc2) for r in aligned2)
 
     # per-corner analytic 1/w = minv[3] . [ndcx, ndcy, ndcz, 1]
     sxw = 2.0 / width

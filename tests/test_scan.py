@@ -416,9 +416,10 @@ def test_scan_slot_gate_matches_full(checker_texture):
 
 
 def test_scan_pack_xy_matches_unpacked(checker_texture):
-    """pack_xy stores strip (sx, sy) at 1/16-px fixed point; the render must
-    match the unpacked path up to that quantisation (edges move <= 1/32 px).
-    Run both a smooth scene and the slot-gate fold scene so the packed
+    """pack_xy stores strip (sx, sy) as one fixed-point plane, delta-coded at
+    1/256 px against the record's crossing x and the band scanline anchor;
+    the render must match the unpacked path up to that quantisation. Run both
+    a smooth scene and the slot-gate fold scene so the packed
     realign/passthrough paths are both exercised."""
     import jax.numpy as jnp
 

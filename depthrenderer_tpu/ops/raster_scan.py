@@ -932,12 +932,13 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         cgf = (canch_f * 128 + off_f).astype(jnp.float32)
 
         best = (
-            jnp.full((8, 128), _FAR, jnp.float32),   # z
+            jnp.full((8, 128), _FAR, jnp.float32),   # z NUMERATOR
+            jnp.ones((8, 128), jnp.float32),         # doubled area (denom)
             jnp.full((8, 128), jnp.float32(2.0e30), jnp.float32),  # id
-            jnp.zeros((8, 128), jnp.float32),        # u/w
-            jnp.zeros((8, 128), jnp.float32),        # v/w
-            jnp.zeros((8, 128), jnp.float32),        # 1/w
-            jnp.zeros((8, 128), jnp.float32),        # min-lambda (wireframe)
+            jnp.zeros((8, 128), jnp.float32),        # u/w * area
+            jnp.zeros((8, 128), jnp.float32),        # v/w * area
+            jnp.zeros((8, 128), jnp.float32),        # 1/w * area
+            jnp.zeros((8, 128), jnp.float32),        # min-lambda num (wire)
         )
 
         def march_one(o_idx):
@@ -1176,7 +1177,10 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             best = jax.lax.cond(any_rec & (mid != jnp.int32(-2)),
                                 slot_body, lambda b: b, best)
 
-        bz, bid, uw, vw, iw, bml = best
+        bzn, bar, bid, uw, vw, iw, bml = best
+        # ONE divide per block resolves the deferred (znum, area) carry
+        # (bar > 0 always: init 1.0, winners passed the area > 1e-12 gate).
+        bz = bzn / bar
         cov = bz < _FAR
         den = jnp.where(jnp.abs(iw) > 1e-30, iw, 1.0)
         u = jnp.where(cov, uw / den, 0.0)
@@ -1194,7 +1198,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             out_ref[0, 0, 2, :, xsl] = zm
             out_ref[0, 0, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
             out_ref[0, 0, 4, :, xsl] = bz
-            out_ref[0, 0, 5, :, xsl] = bml
+            # bml carries the min-lambda NUMERATOR; bar restores the
+            # barycentric (0 stays 0 for uncovered lanes: 0/1).
+            out_ref[0, 0, 5, :, xsl] = bml / bar
             for ch in range(6, 8):
                 out_ref[0, 0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
             return 0
@@ -1206,7 +1212,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         # block b's gathers run, hiding the previously serial start();wait()
         # (~0.65 ms/frame of exposed copy at 64x256 windows, 2025 blocks).
         if mode == "wireframe":
-            covw = cov & (bml <= common.WIREFRAME_EDGE_THRESHOLD)
+            # min-lambda numerator vs threshold * area (bar > 0).
+            covw = cov & (bml <= common.WIREFRAME_EDGE_THRESHOLD * bar)
         else:
             covw = cov
         tx = jnp.clip(u * wt - 0.5, 0.0, wt - 1.0)
@@ -1394,8 +1401,9 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
                   inv_ncm1, inv_nrm1, n_r, n_c, need_minl: bool = True,
                   anchor_y=None):
     """Fetch record s@j and its right neighbour, realign, run the exact
-    edge tests on the sr-1 cells x 2 triangles; fold into the (z, id, attrs)
-    winner carry (min z, ties to lowest triangle id)."""
+    edge tests on the sr-1 cells (ONE diagonal-selected triangle per cell);
+    fold into the division-free (znum, area, id, attrs*area) winner carry
+    (min znum/area via cross-multiplied compares, ties to lowest id)."""
     SR, OFF = config.sr, config.off
     NCH = 2 if config.pack_xy else 3  # strip channels: (pxy, z) or (sx,sy,z)
     j1 = j_i
@@ -1524,7 +1532,7 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     valid_rec = bw1 > jnp.float32(_NOBASE + 1.0)
     col_ok = valid_rec & (cg <= jnp.float32(n_c - 2))
 
-    bz, bid, buw, bvw, biw, bml = best
+    bzn, bar, bid, buw, bvw, biw, bml = best
     qy = qy_col * jnp.ones_like(qx)
 
     prev_bottom = None
@@ -1558,71 +1566,81 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         right_e = (x01 - x11) * (qy - y11) - (y01 - y11) * (qx - x11)
         prev_bottom = bottom_e
 
-        for diag in (0, 1):
-            if diag == 0:
-                ax, ay, az, aiw = x00, y00, z00, i00
-                bx, by, bz_, biw_ = x10, y10, z10, i10
-                cx, cy, cz, ciw = x01, y01, z01, i01
-                e0, e1, e2 = diag_e, top_e, left_e
-            else:
-                ax, ay, az, aiw = x01, y01, z01, i01
-                bx, by, bz_, biw_ = x10, y10, z10, i10
-                cx, cy, cz, ciw = x11, y11, z11, i11
-                e0, e1, e2 = bottom_e, right_e, -diag_e
+        # ONE triangle per pixel (round 3, division-free exact): the cell's
+        # two triangles share the diagonal with opposite signs, so they are
+        # mutually exclusive — the diagonal's sign SELECTS the candidate
+        # (d: tri0 = (c00, c10, c01), else tri1 = (c01, c10, c11)) and one
+        # interpolation runs instead of two. The doubled signed area comes
+        # free from the barycentric identity e_a + e_b + e_c = 2*area (for
+        # covered pixels every term is >= 0, so the f32 sum has no
+        # cancellation), and the per-triangle 1.0/area divide is DEFERRED:
+        # the carry holds (znum, area) with cross-multiplied depth compares
+        # (area, barea > 0), and the attr numerators keep their area factor
+        # — it cancels in the downstream u = uw/iw ratio; the block tail
+        # divides znum/area once. NaN corners poison the edges, so d falls
+        # to tri1 whose own NaN sign tests fail — cov stays false.
+        d = diag_e >= 0.0
+        w_a = jnp.where(d, diag_e, bottom_e)
+        w_b = jnp.where(d, top_e, right_e)
+        w_c = jnp.where(d, left_e, -diag_e)
+        area = w_a + w_b + w_c
+        ok = cell_ok & (area > 1e-12)
+        if config.edge_cull_threshold is not None:
+            zm_a = jnp.where(d, zm1[k], zm2[k])
+            zm_b = zm1[k + 1]
+            zm_c = jnp.where(d, zm2[k], zm2[k + 1])
+            spread = jnp.maximum(
+                jnp.maximum(zm_a, zm_b), zm_c
+            ) - jnp.minimum(jnp.minimum(zm_a, zm_b), zm_c)
+            ok = ok & (spread <= jnp.float32(config.edge_cull_threshold))
+        # Inside-tests: the selected w_a >= 0 is implied by the selection
+        # (d => diag_e >= 0; !d => -diag_e > 0), so only the two remaining
+        # edges are tested per side. And/or form: Mosaic cannot lower a
+        # SELECT with i1 branches (i8->i1 trunci).
+        inside = ((d & (top_e >= 0.0) & (left_e >= 0.0))
+                  | (~d & (bottom_e >= 0.0) & (right_e >= 0.0)))
+        z_a = jnp.where(d, z00, z01)
+        z_c = jnp.where(d, z01, z11)
+        znum = w_a * z_a + w_b * z10 + w_c * z_c
+        cov = ok & inside & (znum >= -area) & (znum <= area)
+        tid = base_id + jnp.where(d, 0.0, 1.0)
+        # Depth compare without the divide: znum/area < bzn/bar with both
+        # denominators > 0. The init incumbent (bzn=_FAR, bar=1) can
+        # overflow bzn*area to inf — any finite candidate still wins; a
+        # stored winner keeps |bzn| <= bar (range test), so real products
+        # stay finite.
+        c_l = znum * bar
+        c_r = bzn * area
+        better = cov & ((c_l < c_r) | ((c_l == c_r) & (tid < bid)))
+        # Attribute interpolation through 1/w partials (round 3): the cell
+        # corners share u per column and v per row, so uw/vw fold to iw
+        # plus ONE delta term each (du = u1-u0 = inv_ncm1, dv =
+        # v_top-v_bot = inv_nrm1). tri0: uw = u0*iw + du*p_c, vw =
+        # v_top*iw - dv*p_b; tri1: uw = u1*iw - du*p_b, vw = v_bot*iw +
+        # dv*p_a — all numerators scaled by the selected triangle's area.
+        iw_a = jnp.where(d, i00, i01)
+        iw_c = jnp.where(d, i01, i11)
+        p_a = w_a * iw_a
+        p_b = w_b * i10
+        p_c = w_c * iw_c
+        iw = p_a + p_b + p_c
+        uw = (jnp.where(d, u0, u1) * iw
+              + inv_ncm1 * jnp.where(d, p_c, -p_b))
+        vw = (jnp.where(d, v_top, v_bot) * iw
+              + inv_nrm1 * jnp.where(d, -p_b, p_a))
+        bzn = jnp.where(better, znum, bzn)
+        bar = jnp.where(better, area, bar)
+        bid = jnp.where(better, tid, bid)
+        buw = jnp.where(better, uw, buw)
+        bvw = jnp.where(better, vw, bvw)
+        biw = jnp.where(better, iw, biw)
+        if need_minl:  # wireframe/attrs only: the texture path skips it
+            # min-lambda NUMERATOR (the area factor divides out with bar
+            # at the block tail / threshold test).
+            minl = jnp.minimum(w_a, jnp.minimum(w_b, w_c))
+            bml = jnp.where(better, minl, bml)
 
-            area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-            ok = cell_ok & (area2 > 1e-12)
-            if config.edge_cull_threshold is not None:
-                if diag == 0:
-                    zms = (zm1[k], zm1[k + 1], zm2[k])
-                else:
-                    zms = (zm2[k], zm1[k + 1], zm2[k + 1])
-                spread = jnp.maximum(
-                    jnp.maximum(zms[0], zms[1]), zms[2]
-                ) - jnp.minimum(jnp.minimum(zms[0], zms[1]), zms[2])
-                ok = ok & (spread <= jnp.float32(config.edge_cull_threshold))
-            inv_a = jnp.where(ok, 1.0 / jnp.where(ok, area2, 1.0), 0.0)
-            l0 = e0 * inv_a
-            l1 = e1 * inv_a
-            l2 = e2 * inv_a
-            zz = l0 * az + l1 * bz_ + l2 * cz
-            cov = (
-                ok
-                & (l0 >= 0.0)
-                & (l1 >= 0.0)
-                & (l2 >= 0.0)
-                & (zz >= -1.0)
-                & (zz <= 1.0)
-            )
-            tid = base_id + jnp.float32(diag)
-            better = cov & ((zz < bz) | ((zz == bz) & (tid < bid)))
-            # Attribute interpolation through 1/w partials (round 3): the
-            # cell corners share u per column and v per row, so uw/vw fold
-            # to iw plus ONE delta term each (du = u1-u0 = inv_ncm1,
-            # dv = v_top-v_bot = inv_nrm1) — 7 muls/4 adds instead of
-            # 15 muls/6 adds per triangle. diag 0 = (c00, c10, c01):
-            # uw = u0*iw + du*p2, vw = v_top*iw - dv*p1; diag 1 =
-            # (c01, c10, c11): uw = u1*iw - du*p1, vw = v_bot*iw + dv*p0.
-            p0 = l0 * aiw
-            p1 = l1 * biw_
-            p2 = l2 * ciw
-            iw = p0 + p1 + p2
-            if diag == 0:
-                uw = u0 * iw + inv_ncm1 * p2
-                vw = v_top * iw - inv_nrm1 * p1
-            else:
-                uw = u1 * iw - inv_ncm1 * p1
-                vw = v_bot * iw + inv_nrm1 * p0
-            bz = jnp.where(better, zz, bz)
-            bid = jnp.where(better, tid, bid)
-            buw = jnp.where(better, uw, buw)
-            bvw = jnp.where(better, vw, bvw)
-            biw = jnp.where(better, iw, biw)
-            if need_minl:  # wireframe/attrs only: the texture path skips it
-                minl = jnp.minimum(l0, jnp.minimum(l1, l2))
-                bml = jnp.where(better, minl, bml)
-
-    return bz, bid, buw, bvw, biw, bml
+    return bzn, bar, bid, buw, bvw, biw, bml
 
 
 @functools.partial(

@@ -118,6 +118,18 @@ class ScanConfig:
     # channel stays exact f32, so depth tests and near-plane rejection are
     # unaffected). Standard-variant only for now (big_grid untested).
     pack_xy: bool = False
+    # Dual-column strips (round 3): capture the +1-lane-rolled window row
+    # BESIDE each strip row, so a record carries its right column's corners
+    # at its OWN rows — records become self-contained and the whole
+    # neighbour-record fetch + shear-realign machinery (and its ``dmax``
+    # cap) disappears from the exact pass. Kills the realign-cap hole class
+    # (34% of the residual coverage holes, ROADMAP.md forensics) exactly:
+    # the right corners come from the window at the left record's rows,
+    # which no realign of the neighbour's differently-anchored strip can
+    # always reach. Costs ~2x capture selects + 2x record VMEM.
+    # Standard-variant only: big_grid's per-chunk window DMA does not hold
+    # the next chunk's column for the lane-127 roll boundary.
+    dual_col: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -138,12 +150,17 @@ class ScanConfig:
         assert self.dmax is None or 1 <= self.dmax <= self.sr - 1
         assert not (self.pack_xy and self.big_grid), \
             "pack_xy is standard-variant only (untested with big_grid)"
+        assert not (self.dual_col and self.big_grid), \
+            "dual_col is standard-variant only (big_grid's per-chunk window" \
+            " lacks the next chunk's column for the roll boundary)"
 
     @property
     def nrec(self) -> int:
         """f32 record planes per slot: sxc, zc, basew + sr strip rows of
-        (sx, sy, z) — or (packed_xy, z) when ``pack_xy``."""
-        return 3 + (2 if self.pack_xy else 3) * self.sr
+        (sx, sy, z) — or (packed_xy, z) when ``pack_xy`` — doubled per row
+        (left + right column) when ``dual_col``."""
+        per_row = (2 if self.pack_xy else 3) * (2 if self.dual_col else 1)
+        return 3 + per_row * self.sr
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -684,14 +701,35 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         # (sx, sy) -> one-plane fixed-point pack happens ONCE at record-store
         # time (below), where the record's own ``sxc`` is known — the delta
         # reference that keeps the pack near-lossless (see ``_DELTA_QP``).
+        # With dual_col the capture rows carry SIX channels: the lane's own
+        # (sx, sy, z) plus the +1-lane-rolled (right column) values at the
+        # SAME window rows, so records are self-contained (no neighbour
+        # fetch / realign in the exact pass).
         NCH = 3
+        NCHC = 6 if config.dual_col else 3
+        lane_last = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 127
+        )
 
         def load_all(b):
-            return tuple(load_block(v, b, chunk) for v in range(3))
+            chans = [load_block(v, b, chunk) for v in range(3)]
+            if config.dual_col:
+                # Channels 3-5: the +1-lane-rolled (right column) block,
+                # built ONCE per (8, 128) block-step — the wrap lane takes
+                # the next chunk's lane 0 (that chunk's column 128). The
+                # last chunk self-clamps: its lane 127 is at/beyond the
+                # grid's final column, masked downstream by cg <= n_c - 2.
+                cn = jnp.minimum(chunk + 1, nchunks - 1)
+                for v in range(3):
+                    own = pltpu.roll(chans[v], 127, 1)
+                    nxtc = pltpu.roll(load_block(v, b, cn), 127, 1)
+                    chans.append(jnp.where(lane_last, nxtc, own))
+            return tuple(chans)
 
         def cap_row(blk, r0, r1):
-            """Capture-channel row [r0:r1] of a loaded block."""
-            return tuple(blk[v][r0:r1] for v in range(3))
+            """Capture-channel row [r0:r1] of a loaded block (6 channels
+            with dual_col: own + pre-rolled right-column values)."""
+            return tuple(blk[v][r0:r1] for v in range(NCHC))
 
         def init_slot():
             zero = jnp.zeros((8, 128), jnp.float32)
@@ -699,7 +737,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                 jnp.full((8, 128), _FAR, jnp.float32),   # sxc
                 jnp.full((8, 128), _FAR, jnp.float32),   # zc
                 jnp.full((8, 128), _NOBASE, jnp.float32),  # basew
-                tuple(tuple(zero for _ in range(NCH)) for _ in range(SR)),
+                tuple(tuple(zero for _ in range(NCHC)) for _ in range(SR)),
             )
 
         tail = SR - OFF - 1
@@ -761,12 +799,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                             row_vals = []
                             if sj <= OFF:
                                 src = ring[OFF - sj]  # win[k - off + sj]
-                                for v in range(NCH):
+                                for v in range(NCHC):
                                     row_vals.append(
                                         jnp.where(fire, src[v], strips[sj][v])
                                     )
                             elif sj == OFF + 1:
-                                for v in range(NCH):
+                                for v in range(NCHC):
                                     row_vals.append(
                                         jnp.where(fire, crow1[v],
                                                   strips[sj][v])
@@ -776,7 +814,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                                 # strip row sj is that row:
                                 # basew - off + sj == k+1
                                 m = bw_s == (kf + 1.0 - jnp.float32(sj - OFF))
-                                for v in range(NCH):
+                                for v in range(NCHC):
                                     row_vals.append(
                                         jnp.where(m, crow1[v], strips[sj][v])
                                     )
@@ -792,7 +830,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         cnt0 = jnp.zeros((8, 128), jnp.float32)
         slots0 = tuple(init_slot() for _ in range(NBR))
         zero_row = jnp.zeros((1, 128), jnp.float32)
-        ring0 = tuple((zero_row,) * NCH for _ in range(OFF + 1))
+        ring0 = tuple((zero_row,) * NCHC for _ in range(OFF + 1))
         cur0 = load_all(b_begin)
         init = (cnt0, slots0, ring0, cur0)
         if NBR >= 2:
@@ -819,16 +857,24 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                 # Delta pack at store time: SR packs per chunk per slot (vs
                 # the strip-select pyramid's hundreds of row-step selects).
                 # Lanes without a record have sxc = _FAR; the clamped garbage
-                # plane is masked downstream by bw = _NOBASE.
+                # plane is masked downstream by bw = _NOBASE. dual_col packs
+                # the right column against the SAME (sxc, anchor) reference
+                # (one cell farther -> still well inside the +-128-px span).
                 ay = _band_anchor_y(i, height)
+                pr = 4 if config.dual_col else 2
                 for j in range(SR):
-                    rec_ref[s, 3 + j * 2, :, csl] = _pack2_xy(
+                    rec_ref[s, 3 + j * pr, :, csl] = _pack2_xy(
                         strips[j][0] - sxc_s, strips[j][1] - ay, _DELTA_QP)
-                    rec_ref[s, 3 + j * 2 + 1, :, csl] = strips[j][2]
+                    rec_ref[s, 3 + j * pr + 1, :, csl] = strips[j][2]
+                    if config.dual_col:
+                        rec_ref[s, 3 + j * pr + 2, :, csl] = _pack2_xy(
+                            strips[j][3] - sxc_s, strips[j][4] - ay,
+                            _DELTA_QP)
+                        rec_ref[s, 3 + j * pr + 3, :, csl] = strips[j][5]
             else:
                 for j in range(SR):
-                    for v in range(3):
-                        rec_ref[s, 3 + j * 3 + v, :, csl] = strips[j][v]
+                    for v in range(NCHC):
+                        rec_ref[s, 3 + j * NCHC + v, :, csl] = strips[j][v]
         return 0
 
     if phases != "noop":  # profiling: noop isolates grid-step + DMA overhead
@@ -1185,10 +1231,13 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         den = jnp.where(jnp.abs(iw) > 1e-30, iw, 1.0)
         u = jnp.where(cov, uw / den, 0.0)
         v = jnp.where(cov, vw / den, 0.0)
-        # analytic model z: rows 2/3 of the inverse MVP applied to pixel NDC
+        # analytic model z: rows 2/3 of the inverse MVP applied to pixel NDC.
+        # The carried iw is scaled by the winner's doubled area (the deferred
+        # division-free interpolation) — u/v cancel it through uw/vw, but this
+        # numerator is unscaled, so restore the factor with bar (== that area).
         ndcx = qx * (2.0 / width) - 1.0
         ndcy = qy_col * jnp.ones((8, 128), jnp.float32) * (2.0 / height) - 1.0
-        num = m2r[0] * ndcx + m2r[1] * ndcy + m2r[2] * bz + m2r[3]
+        num = (m2r[0] * ndcx + m2r[1] * ndcy + m2r[2] * bz + m2r[3]) * bar
         zm = jnp.where(cov, num / den, 0.0)
 
         xsl = pl.ds(blk * 128, 128)
@@ -1410,6 +1459,34 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
     j2 = j_i + 1
 
     bw1 = gather_rec(s, 2, canch, j1, base)
+    if config.dual_col:
+        # Self-contained records (round 3): left + right column rows come
+        # from ONE record — no neighbour-record fetch, no shear realign (and
+        # none of its dmax cap: the right corners were captured at the left
+        # record's OWN rows, killing the realign-cap hole class exactly).
+        PR = NCH * 2
+        if config.pack_xy:
+            sxc1 = gather_rec(s, 0, canch, j1, base)
+        rows = [
+            tuple(gather_rec(s, 3 + j * PR + v, canch, j1, base)
+                  for v in range(PR))
+            for j in range(SR)
+        ]
+        if config.pack_xy:
+            def _unp_d(xy, z, ref):
+                x, y = _unpack2_xy(xy, _DELTA_QP)
+                return (x + ref, y + anchor_y, z)
+
+            strip1 = [_unp_d(r[0], r[1], sxc1) for r in rows]
+            aligned2 = tuple(_unp_d(r[2], r[3], sxc1) for r in rows)
+        else:
+            strip1 = [r[0:3] for r in rows]
+            aligned2 = tuple(r[3:6] for r in rows)
+        return _exact_cells(
+            best, strip1, aligned2, bw1, j1, cgf, qx, qy_col, m2r, m3r,
+            config, width, height, w0f, inv_ncm1, inv_nrm1, n_r, n_c,
+            need_minl)
+
     bw2 = gather_rec(s, 2, canch, j2, base)
     if config.pack_xy:
         # The packed strips are deltas against their column's crossing x
@@ -1489,6 +1566,20 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         strip1 = [_unp(r, sxc1) for r in strip1]
         aligned2 = tuple(_unp(r, sxc2) for r in aligned2)
 
+    return _exact_cells(
+        best, strip1, aligned2, bw1, j1, cgf, qx, qy_col, m2r, m3r, config,
+        width, height, w0f, inv_ncm1, inv_nrm1, n_r, n_c, need_minl)
+
+
+def _exact_cells(best, strip1, aligned2, bw1, j1, cgf, qx, qy_col, m2r, m3r,
+                 config: ScanConfig, width, height, w0f, inv_ncm1, inv_nrm1,
+                 n_r, n_c, need_minl):
+    """The exact edge tests over the sr-1 cells of an (already fetched and
+    row-aligned) left/right strip pair; folds winners into the division-free
+    (znum, area, id, attrs*area) carry. Shared by the single-column
+    (realigned neighbour record) and dual_col (self-contained record)
+    fetch paths."""
+    SR, OFF = config.sr, config.off
     # per-corner analytic 1/w = minv[3] . [ndcx, ndcy, ndcz, 1]
     sxw = 2.0 / width
     syw = 2.0 / height

@@ -43,11 +43,12 @@ mvp = jnp.asarray(
 
 _ov = {}
 for k in ("nbr", "hyps", "sr", "rmax", "cw", "off", "tex_cols", "tex_rows",
-          "pack_xy", "dmax"):
+          "pack_xy", "dmax", "dual_col"):
     if os.environ.get(k.upper()):
         _ov[k] = int(os.environ[k.upper()])
-if _ov.get("pack_xy") is not None:
-    _ov["pack_xy"] = bool(_ov["pack_xy"])
+for _bk in ("pack_xy", "dual_col"):
+    if _ov.get(_bk) is not None:
+        _ov[_bk] = bool(_ov[_bk])
 scfg = raster_scan.suggest_scan_config(n, W, H, **_ov)
 print("config:", scfg)
 

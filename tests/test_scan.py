@@ -464,3 +464,38 @@ def test_scan_pack_xy_matches_unpacked(checker_texture):
         assert same > 0.90, f"{name}: packed vs unpacked agreement {same:.4%}"
         cov_same = ((a[..., 3] > 0) == (b[..., 3] > 0)).mean()
         assert cov_same > 0.97, f"{name}: coverage agreement {cov_same:.4%}"
+
+
+def test_scan_dual_col_matches_oracle(checker_texture):
+    """dual_col captures the right column's corners at the record's OWN rows
+    (self-contained records, no neighbour realign); it must stay a valid
+    rasteriser against the oracle — with at-least-as-good coverage as the
+    single-column path (the realign-cap class becomes reachable)."""
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=1)
+    W, H = 64, 48
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H
+    )
+    cfg_dual = ScanConfig(rmax=16, cw=128, sr=8, off=3, dual_col=True)
+    got = _render_scan(verts, uvs, mvp, checker_texture.astype(np.float32),
+                       W, H, cfg_dual)
+    assert_images_close(got, want, min_psnr=35.0, max_diff_frac=0.02)
+    cov_w = want[..., 3] > 0
+    cov_d = got[..., 3] > 0
+    assert (cov_w == cov_d).mean() > 0.98
+
+    # vs the single-column path: dual must never LOSE covered pixels the
+    # single path renders (it only adds reachable corners); packed variant
+    # must track the unpacked one through the dual planes too.
+    got_single = _render_scan(verts, uvs, mvp,
+                              checker_texture.astype(np.float32), W, H, CFG)
+    cov_s = got_single[..., 3] > 0
+    lost = (cov_s & ~cov_d).mean()
+    assert lost < 0.002, f"dual_col lost {lost:.4%} covered pixels"
+
+    cfg_dual_packed = ScanConfig(rmax=16, cw=128, sr=8, off=3, dual_col=True,
+                                 pack_xy=True)
+    got_p = _render_scan(verts, uvs, mvp, checker_texture.astype(np.float32),
+                         W, H, cfg_dual_packed)
+    same = (got_p == got).all(axis=-1).mean()
+    assert same > 0.90, f"dual packed vs unpacked agreement {same:.4%}"

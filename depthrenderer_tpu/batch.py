@@ -88,6 +88,11 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                         "on TPU when supported, else the tiled Pallas kernel; "
                         "XLA grid elsewhere); applies to both the sequential "
                         "and --sharded paths.")
+    p.add_argument("--quality", action="store_true",
+                   help="Fidelity-over-speed mode for the scan fast path "
+                        "(dual-column self-contained records; sequential "
+                        "path only — the sharded farm keeps the default "
+                        "config for one compiled kernel shape).")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
@@ -224,7 +229,7 @@ def main(argv=None):
         render_clip(mesh, camera.projection, views, out_w, out_h,
                     frame_batch=args.frame_batch, on_frames=on_frames,
                     impl=args.impl, binning_quantile=args.binning_quantile,
-                    edge_cull_threshold=args.edge_cull)
+                    edge_cull_threshold=args.edge_cull, quality=args.quality)
         video_writer.cleanup()
         dt = time.time() - t0
         log(f"[{model_name}] {num_frames} frames in {dt:.2f}s "

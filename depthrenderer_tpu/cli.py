@@ -93,6 +93,11 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                    help="Rasteriser implementation (auto = the scan fast path "
                         "on TPU when supported, else the tiled Pallas kernel; "
                         "XLA grid elsewhere).")
+    p.add_argument("--quality", action="store_true",
+                   help="Fidelity-over-speed mode for the scan fast path: "
+                        "self-contained dual-column records close the "
+                        "realign-cap coverage-hole class at depth folds "
+                        "(slower; see ROADMAP.md forensics).")
     p.add_argument("--no-video", action="store_true",
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
@@ -190,6 +195,7 @@ def main(argv=None):
         f"(mesh density {args.mesh_density}, {mesh.num_triangles:,d} triangles)...")
     t0 = time.time()
     render_clip(mesh, camera.projection, views, out_w, out_h,
+                quality=args.quality,
                 mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames,
                 impl=args.impl, binning_quantile=args.binning_quantile,
                 edge_cull_threshold=args.edge_cull)

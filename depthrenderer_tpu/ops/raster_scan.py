@@ -198,7 +198,7 @@ def _vmem_budget_ok(grid_n: int, cfg: ScanConfig) -> bool:
 
 
 def suggest_scan_config(grid_n: int, width: int, height: int,
-                        **overrides) -> ScanConfig:
+                        quality: bool = False, **overrides) -> ScanConfig:
     """Heuristic scan config for an ``grid_n``-vertex grid at the given output.
 
     ``rmax`` scales with the grid (the depth-hull row span grows with density;
@@ -206,9 +206,22 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     default 320; too-small values are *reported* by prep's overflow diagnostic,
     not silent. ``cw`` covers a 128-pixel block's own extent in cells plus the
     measured fold spread (~±40 cells at n=1025).
+
+    ``quality`` is the user-facing fidelity knob (CLI ``--quality``): it
+    selects self-contained dual-column records (kills the realign-cap
+    coverage-hole class — 34% of the residual scan-vs-grid holes, ROADMAP.md
+    forensics), full sr=12 strip rows and an uncapped realign for any
+    non-dual fallback. Slower; standard-variant grids only (the big_grid
+    variant at d>=11 falls back to sr/dmax alone).
     """
     rmax_explicit = "rmax" in overrides
     pack_explicit = "pack_xy" in overrides
+    dual_explicit = "dual_col" in overrides
+    if quality:
+        overrides.setdefault("dual_col", not overrides.get("big_grid", False))
+        overrides.setdefault("sr", 12)
+        overrides.setdefault("off", 5)
+        overrides.setdefault("dmax", None)
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
@@ -249,6 +262,12 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
                      _ceil_to(grid_n, 128))),
     )
     cfg = ScanConfig(rmax=rmax, cw=cw, **overrides)
+    if (cfg.dual_col and not dual_explicit and not cfg.big_grid
+            and not _vmem_budget_ok(grid_n, cfg)):
+        # Quality mode's doubled record planes can outgrow VMEM before the
+        # base config does; shedding dual_col beats losing the whole standard
+        # variant (big_grid drops pack_xy and the shared band window too).
+        cfg = dataclasses.replace(cfg, dual_col=False)
     if not cfg.big_grid and not _vmem_budget_ok(grid_n, cfg):
         # Large grids (d11/d12): per-chunk window DMA + curve-free march.
         # Per-chunk row spans stay small (measured max 287 at 4K/d12,
@@ -258,6 +277,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         cfg = dataclasses.replace(
             cfg, big_grid=True,
             pack_xy=cfg.pack_xy if pack_explicit else False,
+            dual_col=cfg.dual_col if dual_explicit else False,
             rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 

@@ -272,7 +272,8 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 frame_batch: int = 8,
                 on_frames: Optional[Callable[[int, np.ndarray], None]] = None,
                 impl: str = "auto", binning_quantile: float = 0.995,
-                edge_cull_threshold: Optional[float] = None):
+                edge_cull_threshold: Optional[float] = None,
+                quality: bool = False):
     """Batched clip rendering: the whole camera path in device-chunked batches.
 
     :param mesh: a grid :class:`Mesh`.
@@ -281,6 +282,10 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
         ``camera_position @ animation.batch(times)``).
     :param on_frames: callback ``(start_index, frames_uint8)`` per chunk; host-side
         encoding runs while the next chunk renders on device (async dispatch).
+    :param quality: fidelity-over-speed knob for the scan fast path
+        (dual-column self-contained records + full strip rows; see
+        ``raster_scan.suggest_scan_config``). No effect on the other impls —
+        they are already lossless given ``binning_quantile=1.0``.
     :return: total frame count (frames are delivered via ``on_frames``), or the
         stacked (T, H, W, 4) array when ``on_frames`` is None.
     """
@@ -351,7 +356,8 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
         frame_batch = group
 
         scan_cfg = raster_scan.suggest_scan_config(
-            n, width, height, edge_cull_threshold=edge_cull_threshold)
+            n, width, height, quality=quality,
+            edge_cull_threshold=edge_cull_threshold)
         # Surface hull-window clipping the way the tiled path surfaces binning
         # overflow (sampled views; 0 = the scan saw every candidate row).
         sample = mvps[np.linspace(0, total - 1, min(3, total)).astype(int)]

@@ -43,6 +43,30 @@ def test_batch_parser_reference_surface():
     assert str(d.output_path) == "output"  # reference render_many default
 
 
+def test_quality_flag_surface():
+    # --quality (CLI + batch) selects the dual-column scan config through
+    # suggest_scan_config(quality=True); default stays the fast config.
+    from depthrenderer_tpu.cli import build_parser as cli_parser
+    from depthrenderer_tpu.batch import build_parser as batch_parser
+    from depthrenderer_tpu.ops.raster_scan import suggest_scan_config
+
+    assert cli_parser().parse_args(["c.png", "d.png", "--quality"]).quality
+    assert not cli_parser().parse_args(["c.png", "d.png"]).quality
+    assert batch_parser().parse_args(["c.png", "depths", "--quality"]).quality
+
+    cfg = suggest_scan_config(1025, 1920, 1080, quality=True)
+    assert cfg.dual_col and cfg.sr == 12 and cfg.off == 5 and cfg.dmax is None
+    assert cfg.pack_xy and not cfg.big_grid
+    base = suggest_scan_config(1025, 1920, 1080)
+    assert not base.dual_col and base.sr == 10
+    # Explicit overrides survive the quality defaults.
+    assert suggest_scan_config(1025, 1920, 1080, quality=True, sr=10).sr == 10
+    # d11/d12 grids fall to the big_grid variant: quality sheds dual_col
+    # (standard-variant only) instead of crashing.
+    big = suggest_scan_config(4097, 3840, 2160, quality=True)
+    assert big.big_grid and not big.dual_col and big.sr == 12
+
+
 def test_mesh_from_texture_without_depth(checker_texture):
     # No depth map -> flat quad grid at z = 1 (reference render.py:513-514).
     mesh = dr.Mesh.from_texture(dr.Texture(checker_texture), density=2)

@@ -60,6 +60,11 @@ def main():
                          "Forwarded to suggest_scan_config; the quality "
                          "diagnostics print beside the fps so speed/fidelity "
                          "trade-offs are recorded together.")
+    ap.add_argument("--quality", action="store_true",
+                    help="Scan quality mode (suggest_scan_config(quality=True)"
+                         "): row-edge two-pass union + dual-column records; "
+                         "measures the fidelity-over-speed configuration the "
+                         "CLIs expose as --quality.")
     ap.add_argument("--impl", choices=("auto", "pallas", "xla", "scan"),
                     default="auto",
                     help="Rasteriser implementation: auto = the tiled Pallas "
@@ -161,6 +166,7 @@ def main():
         else:
             impl = "scan"
         log(f"impl: {impl} (auto)")
+    raw = True  # scan raw-u32 output; u8 frames otherwise (or row_edge)
     if impl == "scan":
         from depthrenderer_tpu.ops.raster_scan import (render_frames_scan,
                                                        suggest_scan_config)
@@ -172,12 +178,16 @@ def main():
                 overrides[k.strip()] = (None if v.strip().lower() == "none"
                                         else int(v))
         scan_cfg = suggest_scan_config(n, args.width, args.height,
+                                       quality=args.quality,
                                        edge_cull_threshold=args.edge_cull,
                                        **overrides)
         log(f"scan config: {scan_cfg}")
+        # The row-edge quality pipeline returns assembled u8 frames; the
+        # single-pass fast path keeps the raw-u32 zero-relayout output.
+        raw = bool(not scan_cfg.row_edge)
         render = lambda m: render_frames_scan(  # noqa: E731
             m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,
-            frame_batch=args.frame_batch, raw_u32=True,
+            frame_batch=args.frame_batch, raw_u32=raw,
         )
     else:
         render_fn = render_frames_pallas if impl == "pallas" else render_frames_grid
@@ -220,7 +230,7 @@ def main():
         # rendering shows up here in every bench artifact's diagnostics.
         from depthrenderer_tpu.utils import psnr
 
-        if impl == "scan":
+        if impl == "scan" and raw:
             from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
 
             a = unpack_raw_frames(np.asarray(frames[:1]), args.width,
@@ -265,7 +275,7 @@ def main():
     # 64-frame path) — speed and fidelity ship together in the bench artifact.
 
     def unpack1(dev_frames, k=0):
-        if impl == "scan":
+        if impl == "scan" and raw:
             from depthrenderer_tpu.ops.raster_scan import unpack_raw_frames
 
             return unpack_raw_frames(np.asarray(dev_frames[k:k + 1]),

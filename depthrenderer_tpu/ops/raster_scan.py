@@ -130,6 +130,16 @@ class ScanConfig:
     # Standard-variant only: big_grid's per-chunk window DMA does not hold
     # the next chunk's column for the lane-127 roll boundary.
     dual_col: bool = False
+    # Row-edge record family (round 3, host-orchestrated): render a SECOND,
+    # transposed pass whose records anchor on crossings of grid ROWS with
+    # vertical scanlines, and merge the two passes by depth. Kills the
+    # strip-window coverage-hole class exactly (55% of the residual holes,
+    # ROADMAP.md forensics: pixels entering a cell through a horizontal
+    # edge, whose column-crossing anchor is >= off rows away). The kernel
+    # never sees this flag — ``render_frames_scan`` dispatches to the
+    # two-pass pipeline (see ``render_frames_scan_quality``); ~2.2x cost.
+    # Standard-variant only (the transposed pass reuses the same kernel).
+    row_edge: bool = False
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -153,6 +163,9 @@ class ScanConfig:
         assert not (self.dual_col and self.big_grid), \
             "dual_col is standard-variant only (big_grid's per-chunk window" \
             " lacks the next chunk's column for the roll boundary)"
+        assert not (self.row_edge and self.big_grid), \
+            "row_edge is standard-variant only (the transposed pass reuses" \
+            " the standard kernel)"
 
     @property
     def nrec(self) -> int:
@@ -217,7 +230,15 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     rmax_explicit = "rmax" in overrides
     pack_explicit = "pack_xy" in overrides
     dual_explicit = "dual_col" in overrides
+    rowe_explicit = "row_edge" in overrides
     if quality:
+        # Quality mode = the row-edge second pass (kills the strip-window
+        # hole class, 55% of residual holes) + dual-column self-contained
+        # records (kills realign-cap, 34%). Interpret-mode validation: 7.3%
+        # -> 0.03% flips vs the oracle on the fold-heavy d3 test scene
+        # (tests/test_scan.py::test_scan_row_edge_quality_closes_holes);
+        # on-chip d10/1080p numbers in ROADMAP.md round-3 quality results.
+        overrides.setdefault("row_edge", not overrides.get("big_grid", False))
         overrides.setdefault("dual_col", not overrides.get("big_grid", False))
         overrides.setdefault("sr", 12)
         overrides.setdefault("off", 5)
@@ -278,6 +299,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
             cfg, big_grid=True,
             pack_xy=cfg.pack_xy if pack_explicit else False,
             dual_col=cfg.dual_col if dual_explicit else False,
+            row_edge=cfg.row_edge if rowe_explicit else False,
             rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 
@@ -1985,6 +2007,12 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
     the pipelined consumers (render_clip, bench) use this to skip the
     device-side uint8 relayout.
     """
+    if config.row_edge:
+        assert not raw_u32, \
+            "row_edge quality mode returns assembled u8 frames (no raw path)"
+        return render_frames_scan_quality(
+            mvps, vertex_grid, uv_grid, texture_f32, width, height, config,
+            mode=mode, interpret=interpret, frame_batch=frame_batch)
     _check_uv_grid(uv_grid)
     del uv_grid  # analytic (validated above; pinned by tests vs meshgen)
     vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
@@ -2056,6 +2084,142 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
             f"candidate row(s) in this batch (rmax={config.rmax}); raise "
             f"ScanConfig.rmax or expect misses at extreme depth relief.")
     return out[:T]
+
+
+# ---------------------------------------------------------------------------
+# Row-edge record family (round 3): two passes merged by depth
+# ---------------------------------------------------------------------------
+
+# Clip-space screen transpose for the row-edge pass: ndcx' = -ndcy,
+# ndcy' = -ndcx (z, w unchanged), i.e. transposed-window x' = H - sy,
+# y' = W - sx. The map flips screen orientation (det -1) and the grid
+# transpose flips parameter orientation — composed, the projected triangles
+# keep their original winding, so the kernel's area > 0 front-face rule
+# accepts exactly the original front faces. Transposed pixel (i', j') IS
+# original pixel (j', i'): x'_center = j' + 0.5 = H - sy => original row
+# r = j'; y'_center = W - i' - 0.5 = W - sx => original col c = i'.
+_ROW_EDGE_SWAP = ((0.0, -1.0, 0.0, 0.0),
+                  (-1.0, 0.0, 0.0, 0.0),
+                  (0.0, 0.0, 1.0, 0.0),
+                  (0.0, 0.0, 0.0, 1.0))
+
+
+def _scan_attrs_grouped(mvps, vertex_grid, width, height, config: ScanConfig,
+                        interpret: bool, frame_batch: int):
+    """Grouped attrs-mode scan render -> ((T, nbands, 8, 8, WL) f32, ovf).
+
+    The building blocks of :func:`render_frames_scan` (vmapped prep + one
+    kernel launch per frame group) without the in-kernel shade: the quality
+    pipeline merges two passes' attributes BEFORE shading."""
+    import numpy as _np
+
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    mvps = jnp.asarray(mvps, jnp.float32)
+    T = mvps.shape[0]
+    rpad = max(_ceil_to(n_r, 8), config.rmax)
+    win_bytes = 3 * rpad * _ceil_to(n_c, 128) * 4
+    fb = max(1, min(frame_batch, _WIN_HBM_BUDGET // max(win_bytes, 1), T))
+    pad = (-T) % fb
+    if pad:
+        mvps = jnp.concatenate([mvps, jnp.repeat(mvps[-1:], pad, axis=0)])
+    mvps_np = _np.asarray(mvps, _np.float64)
+    minv = _np.linalg.inv(mvps_np)
+    minv_rows = jnp.asarray(
+        _np.concatenate([minv[:, 2], minv[:, 3]], axis=1).astype(_np.float32))
+    texq = jnp.zeros((config.tex_rows, config.tex_cols), jnp.uint32)
+    outs = []
+    ovfs = []
+    for s in range(0, T + pad, fb):
+        win, w0, bounds, canch, mid, ovf = _prep_scan_batched(
+            mvps[s:s + fb], vertex_grid, width, height, config)
+        ovfs.append(ovf)
+        outs.append(_raster_scan_pallas(
+            win, texq, (8, 128), minv_rows[s:s + fb], w0, bounds, canch,
+            mid, width, height, n_r, n_c, config, "attrs", interpret))
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    ovf_max = max(int(_np.max(_np.asarray(o))) for o in ovfs)
+    return out[:T], ovf_max
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _merge_row_edge(b1, b2, width, height):
+    """Depth-merge the column pass with the transposed row-edge pass.
+
+    ``b1``: (T, nb1, 8ch, 8, WL1) attrs of the standard pass over the
+    (width x height) image. ``b2``: the transposed pass over the
+    (height x width) image — its pixel (i', j') IS original pixel (j', i')
+    (see ``_ROW_EDGE_SWAP``), and its analytic UVs map back as u = 1 - v',
+    v = 1 - u' (the grid transpose swaps the parameter axes). Winner =
+    lower raster depth; exact ties keep the column pass (across passes an
+    exact tie is the same triangle, so the choice is invisible)."""
+    T, nb1, wl1 = b1.shape[0], b1.shape[1], b1.shape[4]
+    a1 = b1.transpose(0, 1, 3, 2, 4).reshape(T, nb1 * 8, 8, wl1)
+    a1 = a1[:, :height, :, :width]                        # (T, H, ch, W)
+    nb2, wl2 = b2.shape[1], b2.shape[4]
+    a2 = b2.transpose(0, 1, 3, 2, 4).reshape(T, nb2 * 8, 8, wl2)
+    a2 = a2[:, :width, :, :height].transpose(0, 3, 2, 1)  # (T, H, ch, W)
+    a2m = jnp.concatenate([
+        1.0 - a2[:, :, 1:2],   # u = 1 - v' (uncovered lanes: cov gates)
+        1.0 - a2[:, :, 0:1],   # v = 1 - u'
+        a2[:, :, 2:],
+    ], axis=2)
+    win2 = (a2[:, :, 3] > 0.5) & (a2[:, :, 4] < a1[:, :, 4])
+    merged = jnp.where(win2[:, :, None], a2m, a1)
+    merged = jnp.pad(merged, ((0, 0), (0, nb1 * 8 - height), (0, 0),
+                              (0, wl1 - width)))
+    return merged.reshape(T, nb1, 8, 8, wl1).transpose(0, 1, 3, 2, 4)
+
+
+def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
+                               width, height, config: ScanConfig,
+                               mode: str = "texture",
+                               interpret: bool = False,
+                               frame_batch: int = _FRAME_GROUP):
+    """Two-pass quality render (``ScanConfig.row_edge``) -> (T, H, W, 4) u8.
+
+    Pass 1 is the standard column-crossing scan; pass 2 re-runs the SAME
+    kernel on the transposed problem (transposed grid, ``_ROW_EDGE_SWAP`` @
+    mvp, width/height swapped), so its records anchor on crossings of grid
+    ROWS with vertical scanlines — exactly the cells the column pass misses
+    when a pixel enters through a horizontal edge (the strip-window hole
+    class, 55% of the residual holes; ROADMAP.md forensics). The passes are
+    depth-merged in attribute space and shaded once with the ORIGINAL
+    texture (the transposed pass's analytic UVs are remapped in the merge,
+    so no texture transpose is needed). ~2.2x the single-pass cost.
+
+    Replaces: the reference's GL rasteriser needs no such union — hardware
+    coverage is exact per triangle (``render.py:448``); this closes the
+    inverse-mapping scan's remaining structural hole classes instead."""
+    _check_uv_grid(uv_grid)
+    del uv_grid
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    cfg1 = dataclasses.replace(config, row_edge=False)
+    # Transposed-pass config, suggested for the (height x width) output.
+    # Single-column records suffice here: a cell this pass contributes was
+    # missed by pass 1, and the sheared/realign-capped classes overlap the
+    # long-row-edge cells this pass anchors exactly.
+    cfg2 = suggest_scan_config(
+        max(n_r, n_c), height, width, sr=config.sr, off=config.off,
+        dmax=config.dmax, edge_cull_threshold=config.edge_cull_threshold)
+    mvps = jnp.asarray(mvps, jnp.float32)
+    S = jnp.asarray(_ROW_EDGE_SWAP, jnp.float32)
+    mvps2 = jnp.einsum("ij,tjk->tik", S, mvps)  # exact (entries 0 / -1 / 1)
+    b1, ovf1 = _scan_attrs_grouped(mvps, vertex_grid, width, height, cfg1,
+                                   interpret, frame_batch)
+    b2, ovf2 = _scan_attrs_grouped(mvps2, jnp.transpose(vertex_grid, (1, 0, 2)),
+                                   height, width, cfg2, interpret, frame_batch)
+    merged = _merge_row_edge(b1, b2, width, height)
+    if ovf1 or ovf2:
+        from ..utils import log
+
+        log(f"WARNING: scan depth-hull window clipped up to "
+            f"{max(ovf1, ovf2)} candidate row(s) in the quality passes "
+            f"(rmax={config.rmax}/{cfg2.rmax}); raise ScanConfig.rmax or "
+            f"expect misses at extreme depth relief.")
+    return _shade_scan_batched(merged, jnp.asarray(texture_f32, jnp.float32),
+                               width, height, mode)
 
 
 def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,

@@ -370,6 +370,11 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 f"row(s) at the sampled views (rmax={scan_cfg.rmax}); raise "
                 f"ScanConfig.rmax or expect misses at extreme depth relief.")
 
+        # The row-edge quality pipeline returns assembled u8 frames (its two
+        # passes merge in attribute space); the single-pass fast path keeps
+        # the raw-u32 zero-relayout output.
+        raw = not scan_cfg.row_edge
+
         def frames_fn(mvps_c, vg, uvg, tex, w, h, _cfg, mode_, frame_batch):
             k = mvps_c.shape[0]
             if k < group:  # pad the tail chunk to the compiled group shape
@@ -377,12 +382,16 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                     [mvps_c, jnp.repeat(mvps_c[-1:], group - k, axis=0)]
                 )
             dev = raster_scan.render_frames_scan(
-                mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_, raw_u32=True
+                mvps_c, vg, uvg, tex, w, h, scan_cfg, mode_, raw_u32=raw
             )
             return dev[:k]
 
-        def post_frames(host):
-            return raster_scan.unpack_raw_frames(host, width, height)
+        if raw:
+            def post_frames(host):
+                return raster_scan.unpack_raw_frames(host, width, height)
+        else:
+            def post_frames(host):
+                return host
     elif impl == "pallas":
         from .ops import raster_pallas
 

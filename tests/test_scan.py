@@ -6,6 +6,8 @@ case (strong folds, giant stretched cells), so tolerances here allow a slightly
 larger winner-flip budget than the tiled paths (see scan_proto3.py's measured
 agreement taxonomy)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
@@ -50,6 +52,38 @@ def test_scan_matches_oracle(checker_texture, angle_deg):
     cov_a = want[..., 3] > 0
     cov_b = got[..., 3] > 0
     assert (cov_a == cov_b).mean() > 0.98
+
+
+def test_scan_row_edge_quality_closes_holes(checker_texture):
+    """The two-pass row-edge pipeline (quality mode) must close nearly all of
+    the single pass's coverage holes: cells a pixel enters through a
+    horizontal edge anchor on the transposed pass's records
+    (raster_scan.render_frames_scan_quality). The budget here is ~50x
+    tighter than the single-pass test above on the same fold-heavy scene."""
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=1)
+    mvp = (
+        mvp @ np.asarray(transforms.rotation(np.deg2rad(4.0), axis=Axis.Y))
+    ).astype(np.float32)
+    W, H = 64, 48
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H
+    )
+    cfgq = dataclasses.replace(CFG, row_edge=True)
+    n = int(np.sqrt(len(verts)))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(raster_scan.render_frames_scan(
+            mvp[None], verts.reshape(n, n, 3), uvs.reshape(n, n, 2),
+            checker_texture.astype(np.float32), W, H, cfgq, "texture",
+            interpret=True))[0]
+    assert got.shape == (H, W, 4)
+    assert_images_close(got, want, min_psnr=40.0, max_diff_frac=0.002)
+    single = _render_scan(verts, uvs, mvp, checker_texture.astype(np.float32),
+                          W, H, CFG)
+    flips_q = (np.abs(got.astype(int) - want.astype(int)).max(axis=-1)
+               > 8).mean()
+    flips_s = (np.abs(single.astype(int) - want.astype(int)).max(axis=-1)
+               > 8).mean()
+    assert flips_q < 0.25 * max(flips_s, 1e-9), (flips_q, flips_s)
 
 
 def test_scan_flat_depth_near_exact(checker_texture):

@@ -561,12 +561,30 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
         bmin = sxw.reshape(nrb, 8, CL).min(axis=1)   # per-8-row-block extrema
         bmax = sxw.reshape(nrb, 8, CL).max(axis=1)
         nwb = config.rmax // 8
-        ridx = jnp.clip((w0[:, None] // 8) + jnp.arange(nwb)[None, :],
-                        0, nrb - 1)                  # (nbands, nwb)
-        smin = jnp.take(bmin, ridx.reshape(-1), axis=0
-                        ).reshape(nbands, nwb, CL).min(axis=1)  # (nbands, CL)
-        smax = jnp.take(bmax, ridx.reshape(-1), axis=0
-                        ).reshape(nbands, nwb, CL).max(axis=1)
+        # Sparse-table window extrema (round 3 prep lever): the old
+        # take-and-reduce materialised (nbands * nwb, CL) row copies (~25 MB
+        # at 1080p/d10) to reduce over each band's nwb-block window; instead
+        # build the power-of-2 running min/max table in log2(p) shifted
+        # passes and cover [a, a+nwb) with TWO overlapping p-blocks
+        # (idempotent min/max). Out-of-range rows clamp to the last block —
+        # exactly the old ridx clip — so the result is bit-identical.
+        p = 1 << (max(nwb, 1).bit_length() - 1)
+        lmin, lmax = bmin, bmax
+        k = 1
+        while k < p:
+            shift_min = jnp.concatenate(
+                [lmin[k:], jnp.repeat(lmin[-1:], min(k, nrb), axis=0)])[:nrb]
+            shift_max = jnp.concatenate(
+                [lmax[k:], jnp.repeat(lmax[-1:], min(k, nrb), axis=0)])[:nrb]
+            lmin = jnp.minimum(lmin, shift_min)
+            lmax = jnp.maximum(lmax, shift_max)
+            k *= 2
+        a_i = jnp.clip(w0 // 8, 0, nrb - 1)
+        b_i = jnp.clip(w0 // 8 + nwb - p, 0, nrb - 1)
+        smin = jnp.minimum(jnp.take(lmin, a_i, axis=0),
+                           jnp.take(lmin, b_i, axis=0))   # (nbands, CL)
+        smax = jnp.maximum(jnp.take(lmax, a_i, axis=0),
+                           jnp.take(lmax, b_i, axis=0))
         # pair-base intervals: union of columns c and c+1 (edge-pad the last)
         pmin = jnp.minimum(smin, jnp.concatenate([smin[:, 1:],
                                                   smin[:, -1:]], axis=1))
@@ -2203,9 +2221,16 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
     cfg2 = suggest_scan_config(
         max(n_r, n_c), height, width, sr=config.sr, off=config.off,
         dmax=config.dmax, edge_cull_threshold=config.edge_cull_threshold)
+    import numpy as _np
+
+    # Host-side in f64: the swap only permutes/negates rows, so it is exact —
+    # but a DEVICE matmul would run at the TPU's default bf16 precision and
+    # collapse the near-identical perspective rows 2/3 (measured: the f64
+    # host inverse of the bf16-rounded product raises LinAlgError).
     mvps = jnp.asarray(mvps, jnp.float32)
-    S = jnp.asarray(_ROW_EDGE_SWAP, jnp.float32)
-    mvps2 = jnp.einsum("ij,tjk->tik", S, mvps)  # exact (entries 0 / -1 / 1)
+    S = _np.asarray(_ROW_EDGE_SWAP, _np.float64)
+    mvps2 = _np.einsum("ij,tjk->tik", S,
+                       _np.asarray(mvps, _np.float64)).astype(_np.float32)
     b1, ovf1 = _scan_attrs_grouped(mvps, vertex_grid, width, height, cfg1,
                                    interpret, frame_batch)
     b2, ovf2 = _scan_attrs_grouped(mvps2, jnp.transpose(vertex_grid, (1, 0, 2)),
@@ -2245,6 +2270,9 @@ def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
     if config is None or not isinstance(config, ScanConfig):
         config = suggest_scan_config(n_r, width, height)
+    assert not config.row_edge, \
+        ("the row-edge quality pipeline is host-orchestrated (two kernel "
+         "launches + merge); pass a single-pass config to the sharded path")
     mvps = jnp.asarray(mvps, jnp.float32)
     minv = jnp.linalg.inv(mvps)
     minv_rows = jnp.concatenate([minv[:, 2], minv[:, 3]], axis=1)  # (T, 8)

@@ -234,10 +234,14 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     if quality:
         # Quality mode = the row-edge second pass (kills the strip-window
         # hole class, 55% of residual holes) + dual-column self-contained
-        # records (kills realign-cap, 34%). Interpret-mode validation: 7.3%
-        # -> 0.03% flips vs the oracle on the fold-heavy d3 test scene
-        # (tests/test_scan.py::test_scan_row_edge_quality_closes_holes);
-        # on-chip d10/1080p numbers in ROADMAP.md round-3 quality results.
+        # records (kills realign-cap, 34%). Measured on chip: 1080p/d10
+        # flips vs the lossless grid 0.88% -> 0.19%, GL-golden masked PSNR
+        # +4.8 dB frontal / +3.0 dB sway40 (~2 dB from the grid's own GL
+        # floor at this config); at BASELINE config #1 (VGA/d8) it reaches
+        # the grid's own 56.3 dB vs real GL (single pass: 44.7 dB) with
+        # 0.009% cross flips. ~4x the fast path's frame time (attrs-mode
+        # passes + XLA shade). Interpret validation: 7.3% -> 0.03% oracle
+        # flips on the fold-heavy d3 scene (test_scan_row_edge_quality_*).
         overrides.setdefault("row_edge", not overrides.get("big_grid", False))
         overrides.setdefault("dual_col", not overrides.get("big_grid", False))
         overrides.setdefault("sr", 12)
@@ -2231,11 +2235,25 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
     S = _np.asarray(_ROW_EDGE_SWAP, _np.float64)
     mvps2 = _np.einsum("ij,tjk->tik", S,
                        _np.asarray(mvps, _np.float64)).astype(_np.float32)
-    b1, ovf1 = _scan_attrs_grouped(mvps, vertex_grid, width, height, cfg1,
-                                   interpret, frame_batch)
-    b2, ovf2 = _scan_attrs_grouped(mvps2, jnp.transpose(vertex_grid, (1, 0, 2)),
-                                   height, width, cfg2, interpret, frame_batch)
-    merged = _merge_row_edge(b1, b2, width, height)
+    vgrid_t = jnp.transpose(vertex_grid, (1, 0, 2))
+    texture_f32 = jnp.asarray(texture_f32, jnp.float32)
+    # Chunk the WHOLE pipeline per frame group: the two attrs tensors cost
+    # ~166 MB/frame at 1080p/d10 (vs ~8 MB/frame for shaded output), so a
+    # whole-clip merge would exhaust HBM at bench-sized clips (measured:
+    # 64 frames -> ~11 GB of attrs + transpose copies).
+    T = int(mvps.shape[0])
+    fb = max(1, min(frame_batch, 8))
+    frames = []
+    ovf1 = ovf2 = 0
+    for s in range(0, T, fb):
+        b1, o1 = _scan_attrs_grouped(mvps[s:s + fb], vertex_grid, width,
+                                     height, cfg1, interpret, fb)
+        b2, o2 = _scan_attrs_grouped(mvps2[s:s + fb], vgrid_t, height, width,
+                                     cfg2, interpret, fb)
+        ovf1, ovf2 = max(ovf1, o1), max(ovf2, o2)
+        merged = _merge_row_edge(b1, b2, width, height)
+        frames.append(_shade_scan_batched(merged, texture_f32, width, height,
+                                          mode))
     if ovf1 or ovf2:
         from ..utils import log
 
@@ -2243,8 +2261,7 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
             f"{max(ovf1, ovf2)} candidate row(s) in the quality passes "
             f"(rmax={config.rmax}/{cfg2.rmax}); raise ScanConfig.rmax or "
             f"expect misses at extreme depth relief.")
-    return _shade_scan_batched(merged, jnp.asarray(texture_f32, jnp.float32),
-                               width, height, mode)
+    return jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
 
 
 def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,

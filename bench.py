@@ -182,9 +182,9 @@ def main():
                                        edge_cull_threshold=args.edge_cull,
                                        **overrides)
         log(f"scan config: {scan_cfg}")
-        # The row-edge quality pipeline returns assembled u8 frames; the
-        # single-pass fast path keeps the raw-u32 zero-relayout output.
-        raw = bool(not scan_cfg.row_edge)
+        # Texture-mode renders (bench always) keep the raw-u32 zero-relayout
+        # output on both the fast path and the row-edge quality pipeline.
+        raw = True
         render = lambda m: render_frames_scan(  # noqa: E731
             m, vgrid, uvgrid, texture, args.width, args.height, scan_cfg,
             frame_batch=args.frame_batch, raw_u32=raw,

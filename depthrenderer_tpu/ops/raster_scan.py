@@ -635,7 +635,16 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                  n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
                  mode: str, debug_records: bool = False, phases: str = "all"):
     curve_ref = None
-    if debug_records and config.big_grid:
+    outz_ref = None
+    if mode == "texture_z":  # rgba + raster-z outputs (quality-merge path)
+        assert not debug_records and phases == "all"
+        if config.big_grid:
+            out_ref, outz_ref, win_ref, rec_ref, attrs_ref, texw_ref, sem = \
+                refs
+        else:
+            (out_ref, outz_ref, win_ref, rec_ref, curve_ref, attrs_ref,
+             texw_ref, sem) = refs
+    elif debug_records and config.big_grid:
         out_ref, dbg_ref, win_ref, rec_ref, attrs_ref, texw_ref, sem = refs
     elif debug_records:
         (out_ref, dbg_ref, win_ref, rec_ref, curve_ref, attrs_ref, texw_ref,
@@ -1338,7 +1347,11 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
         attrs_ref[2, :, xsl] = tx - ix
         attrs_ref[3, :, xsl] = ty - iy
         attrs_ref[4, :, xsl] = jnp.where(covw, 1.0, 0.0)
-        attrs_ref[5, :, xsl] = zm
+        # texture_z (quality merge): slot 5 carries the RASTER depth — the
+        # cross-pass merge key — instead of the model z (debug_z shading is
+        # not a texture_z mode; uncovered lanes stay at the FAR sentinel).
+        attrs_ref[5, :, xsl] = jnp.where(covw, bz, _FAR) \
+            if mode == "texture_z" else zm
         return 0
 
     # ---------------- pass 2: shade (texture gather + bilerp) -------------
@@ -1492,6 +1505,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             q8(r_) | (q8(g_) << 8) | (q8(b_) << 16) | (q8(a_) << 24)
         )
         out_ref[0, :, xsl] = pltpu.bitcast(packed, jnp.uint32)
+        if mode == "texture_z":
+            outz_ref[0, :, xsl] = zm  # slot 5 = raster depth in this mode
         return tyb_n, txb_n
 
     def _shade_pass():
@@ -1830,6 +1845,19 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((T, nbands, 8, 8, wl), jnp.float32)
+    elif mode == "texture_z":
+        # Quality-merge path: rgba + the raster-z merge key, both in the
+        # full-image row layout.
+        out_specs = (
+            pl.BlockSpec((1, 8, wl), lambda t, i, *_: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, wl), lambda t, i, *_: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.uint32),
+            jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.float32),
+        )
     else:
         # Full-image row layout: band i writes image rows [8i, 8i+8), so the
         # host-side assembly is a pure bitcast (no relayout copy).
@@ -2030,11 +2058,12 @@ def render_frames_scan(mvps, vertex_grid, uv_grid, texture_f32, width, height,
     device-side uint8 relayout.
     """
     if config.row_edge:
-        assert not raw_u32, \
-            "row_edge quality mode returns assembled u8 frames (no raw path)"
+        assert not raw_u32 or mode == "texture", \
+            "row_edge raw output exists only for texture mode"
         return render_frames_scan_quality(
             mvps, vertex_grid, uv_grid, texture_f32, width, height, config,
-            mode=mode, interpret=interpret, frame_batch=frame_batch)
+            mode=mode, interpret=interpret, frame_batch=frame_batch,
+            raw_u32=raw_u32)
     _check_uv_grid(uv_grid)
     del uv_grid  # analytic (validated above; pinned by tests vs meshgen)
     vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
@@ -2164,6 +2193,67 @@ def _scan_attrs_grouped(mvps, vertex_grid, width, height, config: ScanConfig,
     return out[:T], ovf_max
 
 
+def _scan_rgba_z_grouped(mvps, vertex_grid, texture_f32, width, height,
+                         config: ScanConfig, interpret: bool,
+                         frame_batch: int):
+    """Grouped texture_z render -> ((T, H8, WL) u32, (T, H8, WL) f32, ovf).
+
+    The in-kernel-shaded fast form of a quality pass: rgba in the raw
+    full-image row layout plus the raster-depth merge key."""
+    import numpy as _np
+
+    vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    mvps = jnp.asarray(mvps, jnp.float32)
+    T = mvps.shape[0]
+    rpad = max(_ceil_to(n_r, 8), config.rmax)
+    win_bytes = 3 * rpad * _ceil_to(n_c, 128) * 4
+    fb = max(1, min(frame_batch, _WIN_HBM_BUDGET // max(win_bytes, 1), T))
+    pad = (-T) % fb
+    if pad:
+        mvps = jnp.concatenate([mvps, jnp.repeat(mvps[-1:], pad, axis=0)])
+    mvps_np = _np.asarray(mvps, _np.float64)
+    minv = _np.linalg.inv(mvps_np)
+    minv_rows = jnp.asarray(
+        _np.concatenate([minv[:, 2], minv[:, 3]], axis=1).astype(_np.float32))
+    texture_f32 = jnp.asarray(texture_f32, jnp.float32)
+    ht, wt = int(texture_f32.shape[0]), int(texture_f32.shape[1])
+    rpad_t = max(_ceil_to(ht, 8), config.tex_rows)
+    cpad_t = max(_ceil_to(wt, 128), config.tex_cols)
+    texq = _pack_texture(texture_f32, rpad_t, cpad_t)
+    rgbas, zs, ovfs = [], [], []
+    for s in range(0, T + pad, fb):
+        win, w0, bounds, canch, mid, ovf = _prep_scan_batched(
+            mvps[s:s + fb], vertex_grid, width, height, config)
+        ovfs.append(ovf)
+        rgba, z = _raster_scan_pallas(
+            win, texq, (ht, wt), minv_rows[s:s + fb], w0, bounds, canch,
+            mid, width, height, n_r, n_c, config, "texture_z", interpret)
+        rgbas.append(rgba)
+        zs.append(z)
+    rgba = jnp.concatenate(rgbas, axis=0) if len(rgbas) > 1 else rgbas[0]
+    z = jnp.concatenate(zs, axis=0) if len(zs) > 1 else zs[0]
+    ovf_max = max(int(_np.max(_np.asarray(o))) for o in ovfs)
+    return rgba[:T], z[:T], ovf_max
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _merge_row_edge_raw(rgba1, z1, rgba2, z2, width, height):
+    """u32 depth-merge of two texture_z passes, in pass 1's raw row layout.
+
+    ``rgba2``/``z2`` come from the transposed pass over the (height x width)
+    image; transposed pixel (i', j') IS original pixel (j', i'). Padded
+    regions keep pass 1 (z2 pads to the FAR sentinel); exact depth ties keep
+    pass 1 (an exact cross-pass tie is the same triangle)."""
+    h8, wl1 = rgba1.shape[1], rgba1.shape[2]
+    r2 = rgba2[:, :width, :height].transpose(0, 2, 1)
+    zz2 = z2[:, :width, :height].transpose(0, 2, 1)
+    r2 = jnp.pad(r2, ((0, 0), (0, h8 - height), (0, wl1 - width)))
+    zz2 = jnp.pad(zz2, ((0, 0), (0, h8 - height), (0, wl1 - width)),
+                  constant_values=_FAR)
+    return jnp.where(zz2 < z1, r2, rgba1)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _merge_row_edge(b1, b2, width, height):
     """Depth-merge the column pass with the transposed row-edge pass.
@@ -2197,7 +2287,8 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
                                width, height, config: ScanConfig,
                                mode: str = "texture",
                                interpret: bool = False,
-                               frame_batch: int = _FRAME_GROUP):
+                               frame_batch: int = _FRAME_GROUP,
+                               raw_u32: bool = False):
     """Two-pass quality render (``ScanConfig.row_edge``) -> (T, H, W, 4) u8.
 
     Pass 1 is the standard column-crossing scan; pass 2 re-runs the SAME
@@ -2237,23 +2328,44 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
                        _np.asarray(mvps, _np.float64)).astype(_np.float32)
     vgrid_t = jnp.transpose(vertex_grid, (1, 0, 2))
     texture_f32 = jnp.asarray(texture_f32, jnp.float32)
-    # Chunk the WHOLE pipeline per frame group: the two attrs tensors cost
-    # ~166 MB/frame at 1080p/d10 (vs ~8 MB/frame for shaded output), so a
-    # whole-clip merge would exhaust HBM at bench-sized clips (measured:
-    # 64 frames -> ~11 GB of attrs + transpose copies).
     T = int(mvps.shape[0])
-    fb = max(1, min(frame_batch, 8))
     frames = []
     ovf1 = ovf2 = 0
-    for s in range(0, T, fb):
-        b1, o1 = _scan_attrs_grouped(mvps[s:s + fb], vertex_grid, width,
-                                     height, cfg1, interpret, fb)
-        b2, o2 = _scan_attrs_grouped(mvps2[s:s + fb], vgrid_t, height, width,
-                                     cfg2, interpret, fb)
-        ovf1, ovf2 = max(ovf1, o1), max(ovf2, o2)
-        merged = _merge_row_edge(b1, b2, width, height)
-        frames.append(_shade_scan_batched(merged, texture_f32, width, height,
-                                          mode))
+    in_kernel = mode == "texture" \
+        and texture_f32.ndim == 3 and texture_f32.shape[-1] == 4
+    if in_kernel:
+        # Fast form: both passes shade IN-KERNEL (texture_z mode — pass 2
+        # samples the transposed texture, bilinear-equivalent under the
+        # parameter swap) and merge as u32 by the raster-depth key; no
+        # attrs round-trip, no XLA shade.
+        tex_t = jnp.transpose(texture_f32, (1, 0, 2))
+        fb = max(1, min(frame_batch, _FRAME_GROUP))
+        for s in range(0, T, fb):
+            r1, z1, o1 = _scan_rgba_z_grouped(
+                mvps[s:s + fb], vertex_grid, texture_f32, width, height,
+                cfg1, interpret, fb)
+            r2, z2, o2 = _scan_rgba_z_grouped(
+                mvps2[s:s + fb], vgrid_t, tex_t, height, width, cfg2,
+                interpret, fb)
+            ovf1, ovf2 = max(ovf1, o1), max(ovf2, o2)
+            frames.append(_merge_row_edge_raw(r1, z1, r2, z2, width, height))
+    else:
+        # Attrs form (debug_z / wireframe / non-RGBA textures): merge in
+        # attribute space and shade once with the original texture. Chunk
+        # the WHOLE pipeline per frame group: the two attrs tensors cost
+        # ~166 MB/frame at 1080p/d10, so a whole-clip merge would exhaust
+        # HBM at bench-sized clips (measured: 64 frames -> ~11 GB).
+        assert not raw_u32, "raw output exists only for texture mode"
+        fb = max(1, min(frame_batch, 8))
+        for s in range(0, T, fb):
+            b1, o1 = _scan_attrs_grouped(mvps[s:s + fb], vertex_grid, width,
+                                         height, cfg1, interpret, fb)
+            b2, o2 = _scan_attrs_grouped(mvps2[s:s + fb], vgrid_t, height,
+                                         width, cfg2, interpret, fb)
+            ovf1, ovf2 = max(ovf1, o1), max(ovf2, o2)
+            merged = _merge_row_edge(b1, b2, width, height)
+            frames.append(_shade_scan_batched(merged, texture_f32, width,
+                                              height, mode))
     if ovf1 or ovf2:
         from ..utils import log
 
@@ -2261,7 +2373,12 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
             f"{max(ovf1, ovf2)} candidate row(s) in the quality passes "
             f"(rmax={config.rmax}/{cfg2.rmax}); raise ScanConfig.rmax or "
             f"expect misses at extreme depth relief.")
-    return jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
+    out = jnp.concatenate(frames, axis=0) if len(frames) > 1 else frames[0]
+    if in_kernel and raw_u32:
+        return out
+    if in_kernel:
+        return _assemble_rgba_batched(out, width, height)
+    return out
 
 
 def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,

@@ -370,10 +370,10 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 f"row(s) at the sampled views (rmax={scan_cfg.rmax}); raise "
                 f"ScanConfig.rmax or expect misses at extreme depth relief.")
 
-        # The row-edge quality pipeline returns assembled u8 frames (its two
-        # passes merge in attribute space); the single-pass fast path keeps
-        # the raw-u32 zero-relayout output.
-        raw = not scan_cfg.row_edge
+        # The row-edge quality pipeline supports the raw-u32 output only in
+        # texture mode (its passes merge as shaded u32 by depth there; the
+        # debug/wireframe modes merge in attribute space and return u8).
+        raw = (not scan_cfg.row_edge) or mode == "texture"
 
         def frames_fn(mvps_c, vg, uvg, tex, w, h, _cfg, mode_, frame_batch):
             k = mvps_c.shape[0]

@@ -430,7 +430,12 @@ def bench_farm(args, dev):
     out_dir = tempfile.mkdtemp(prefix="farm_")
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if dev.platform == "tpu" else "grid"
+        if dev.platform == "tpu":
+            from depthrenderer_tpu.ops.raster_scan import scan_supported
+
+            impl = "scan" if scan_supported(n) else "pallas"
+        else:
+            impl = "grid"
     if impl == "xla":
         impl = "grid"
 

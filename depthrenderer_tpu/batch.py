@@ -90,9 +90,9 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                         "and --sharded paths.")
     p.add_argument("--quality", action="store_true",
                    help="Fidelity-over-speed mode for the scan fast path "
-                        "(dual-column self-contained records; sequential "
-                        "path only — the sharded farm keeps the default "
-                        "config for one compiled kernel shape).")
+                        "(row-edge two-pass union + dual-column records; "
+                        "sequential path only — the sharded farm keeps the "
+                        "default config for one compiled kernel shape).")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")

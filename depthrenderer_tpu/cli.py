@@ -95,9 +95,10 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                         "XLA grid elsewhere).")
     p.add_argument("--quality", action="store_true",
                    help="Fidelity-over-speed mode for the scan fast path: "
-                        "self-contained dual-column records close the "
-                        "realign-cap coverage-hole class at depth folds "
-                        "(slower; see ROADMAP.md forensics).")
+                        "the row-edge second pass (transposed records, "
+                        "depth-merged) + dual-column self-contained records "
+                        "close the strip-window and realign-cap coverage-"
+                        "hole classes (~3x frame time; ROADMAP.md).")
     p.add_argument("--no-video", action="store_true",
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",

@@ -2308,14 +2308,32 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
     del uv_grid
     vertex_grid = jnp.asarray(vertex_grid, jnp.float32)
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
-    cfg1 = dataclasses.replace(config, row_edge=False)
+    # Quality passes take the PRE-shrink texture windows (128x384; the fast
+    # path's 64x256 saves 0.8 ms/frame at the price of rare fold-outlier
+    # clamp mis-samples — a price the quality mode should not pay).
+    cfg1 = dataclasses.replace(config, row_edge=False,
+                               tex_rows=max(config.tex_rows, 128),
+                               tex_cols=max(config.tex_cols, 384))
     # Transposed-pass config, suggested for the (height x width) output.
     # Single-column records suffice here: a cell this pass contributes was
     # missed by pass 1, and the sheared/realign-capped classes overlap the
     # long-row-edge cells this pass anchors exactly.
+    # The transposed pass's per-block texture footprint rotates with it: a
+    # pass-2 block spans ~8 px of original x by 128 px of original y, so in
+    # the TRANSPOSED texture its window needs ~(8 + fold slack) ROWS by
+    # ~(128 + slack) cols — the measured ~110-px slack that was horizontal
+    # is now vertical, and the 1080p-class 64-row window clamps badly
+    # (measured on chip: 1.19% merged flips vs 0.19% for the unwindowed
+    # attrs pipeline). 128 rows cover it; the scratch stays at 2*128*256*4
+    # = 256 KB.
+    # Window sizing for the transposed orientation: a pass-2 block spans
+    # ~8 px of original x by 128 px of original y, so its footprint in the
+    # TRANSPOSED texture is ~(8 + fold slack ~110) rows by ~(128 + slack)
+    # cols — plus up to 127 cols of 128-aligned origin misalignment.
     cfg2 = suggest_scan_config(
         max(n_r, n_c), height, width, sr=config.sr, off=config.off,
-        dmax=config.dmax, edge_cull_threshold=config.edge_cull_threshold)
+        dmax=config.dmax, edge_cull_threshold=config.edge_cull_threshold,
+        tex_rows=192, tex_cols=384)
     import numpy as _np
 
     # Host-side in f64: the swap only permutes/negates rows, so it is exact —

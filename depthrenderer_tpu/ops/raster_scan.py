@@ -1090,8 +1090,16 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
             # Block-level slot gate (round 3): a slot with NO record in the
             # march window (slot 1 away from folds — the common case) used to
             # run the full march + fetch + exact pipeline against FAR records;
-            # one scalar reduce skips all of it.
+            # one scalar reduce skips all of it. Narrow-march blocks gate on
+            # the NARROW window only (bit-exact: the narrow sweep can never
+            # select a record outside it), which skips slots whose records
+            # sit in the wide-but-not-narrow fringe — fold edges.
             any_rec = jnp.min(zc_t) < jnp.float32(_FAR * 0.5)
+            if not config.big_grid and config.cw > 128 and MW // 128 < 4:
+                offn = (canch_ref[t, blk] + jnp.maximum(mid, 0)) * 8
+                zcn_g = curve_ref[s, 1, pl.ds(offn, 128), :]
+                any_nar = jnp.min(zcn_g) < jnp.float32(_FAR * 0.5)
+                any_rec = jnp.where(mid >= 0, any_nar, any_rec)
 
             def _march_tail(best_in, s, h1, cnt_acc,
                             sxc_t=sxc_t, zc_t=zc_t):

@@ -86,6 +86,53 @@ def test_scan_row_edge_quality_closes_holes(checker_texture):
     assert flips_q < 0.25 * max(flips_s, 1e-9), (flips_q, flips_s)
 
 
+def test_scan_quality_texture_z_matches_attrs_merge(checker_texture):
+    """The texture_z fast form of the quality pipeline (in-kernel-shaded
+    passes, u32 depth merge) must agree with the attrs-merged + XLA-shaded
+    form: identical winners (same merge key) and sampler-rounding-level
+    pixel differences only. On chip the two measured bit-identical at
+    1080p/d10 once the windows were orientation-sized."""
+    verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=1)
+    mvp = (
+        mvp @ np.asarray(transforms.rotation(np.deg2rad(4.0), axis=Axis.Y))
+    ).astype(np.float32)
+    W, H = 64, 48
+    n = int(np.sqrt(len(verts)))
+    vg = verts.reshape(n, n, 3)
+    tex = checker_texture.astype(np.float32)
+    cfgq = dataclasses.replace(CFG, row_edge=True)
+    import jax.numpy as jnp
+
+    cfg1 = dataclasses.replace(cfgq, row_edge=False,
+                               tex_rows=max(cfgq.tex_rows, 128),
+                               tex_cols=max(cfgq.tex_cols, 384))
+    cfg2 = raster_scan.suggest_scan_config(
+        n, H, W, sr=cfgq.sr, off=cfgq.off, dmax=cfgq.dmax,
+        rmax=cfgq.rmax, cw=cfgq.cw, tex_rows=192, tex_cols=384)
+    S = np.asarray(raster_scan._ROW_EDGE_SWAP, np.float64)
+    mvps = jnp.asarray(mvp[None])
+    mvps2 = jnp.asarray(np.einsum(
+        "ij,tjk->tik", S, np.asarray(mvps, np.float64)).astype(np.float32))
+    vg_t = jnp.transpose(jnp.asarray(vg), (1, 0, 2))
+    with pltpu.force_tpu_interpret_mode():
+        b1, _ = raster_scan._scan_attrs_grouped(mvps, vg, W, H, cfg1, True, 1)
+        b2, _ = raster_scan._scan_attrs_grouped(mvps2, vg_t, H, W, cfg2,
+                                                True, 1)
+        merged = raster_scan._merge_row_edge(b1, b2, W, H)
+        attrs_q = np.asarray(raster_scan._shade_scan_batched(
+            merged, jnp.asarray(tex), W, H, "texture"))[0]
+        r1, z1, _ = raster_scan._scan_rgba_z_grouped(
+            mvps, vg, tex, W, H, cfg1, True, 1)
+        r2, z2, _ = raster_scan._scan_rgba_z_grouped(
+            mvps2, vg_t, jnp.transpose(jnp.asarray(tex), (1, 0, 2)),
+            H, W, cfg2, True, 1)
+        raw = raster_scan._merge_row_edge_raw(r1, z1, r2, z2, W, H)
+        tz_q = np.asarray(raster_scan._assemble_rgba_batched(raw, W, H))[0]
+    diff = np.abs(tz_q.astype(int) - attrs_q.astype(int))
+    assert (diff.max(axis=-1) > 8).mean() == 0.0
+    assert diff.max() <= 8
+
+
 def test_scan_flat_depth_near_exact(checker_texture):
     # A fold-free scene: the crossing structure is single-sheet, so the scan's
     # candidate set is complete and the render should match almost pixel-exactly.

@@ -247,6 +247,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         overrides.setdefault("sr", 12)
         overrides.setdefault("off", 5)
         overrides.setdefault("dmax", None)
+        overrides.setdefault("hyps", 2)
     rmax = overrides.pop(
         "rmax", min(320, _ceil_to(max(grid_n // 3 + 48, 64), 8))
     )
@@ -262,6 +263,15 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     overrides.setdefault("sr", 10)
     overrides.setdefault("off", 4)
     overrides.setdefault("dmax", 5)
+    # Single march hypothesis at production density (round 3, measured):
+    # the gated hypothesis-2 pass costs 2.56 ms/frame on the fold-heavy NYU
+    # scene for +0.12pp winner agreement and +1.0 dB GL PSNR — at d>=10,
+    # where even the LOSSLESS grid floors at 37-43 dB against real GL
+    # (sub-pixel coverage rules), that fidelity sits below the measurement
+    # floor, so the default takes the 75.5 -> 90.6 fps. Coarser grids keep
+    # hyps=2 (the d8/VGA BASELINE gate has real margin to protect), as does
+    # quality mode.
+    overrides.setdefault("hyps", 2 if grid_n < 1025 else 1)
     # 4K outputs spread a block's texture footprint wider; one extra 128-col
     # page keeps the clamp-to-window outliers as rare as at 1080p. At <=1080p
     # class outputs the measured spreads (tx <= 237, ty <= 118 p-outlier)
@@ -2340,7 +2350,8 @@ def render_frames_scan_quality(mvps, vertex_grid, uv_grid, texture_f32,
     # cols — plus up to 127 cols of 128-aligned origin misalignment.
     cfg2 = suggest_scan_config(
         max(n_r, n_c), height, width, sr=config.sr, off=config.off,
-        dmax=config.dmax, edge_cull_threshold=config.edge_cull_threshold,
+        dmax=config.dmax, hyps=config.hyps,
+        edge_cull_threshold=config.edge_cull_threshold,
         tex_rows=192, tex_cols=384)
     import numpy as _np
 

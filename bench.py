@@ -254,12 +254,16 @@ def main():
         quality["cross_flip_frac"] = round(flips, 5)
         log(f"{impl}-vs-grid PSNR (frame 0): {cross:.1f} dB "
             f"({flips * 100:.2f}% pixels flipped >8 LSB)")
-        if impl == "scan" and cross < 30.0:
-            # The documented depth-edge winner-flip class floors this
-            # comparison near ~33 dB; anything materially below that is a real
-            # kernel regression, not the known compromise (ADVICE r2).
-            log("WARNING: scan-vs-grid PSNR below the ~33 dB winner-flip "
-                "floor — this indicates a scan-kernel regression!")
+        # The winner-flip floor of this comparison scales with cell density:
+        # at ~pixel-scale cells (d10/1080p) it sits near ~33 dB; at
+        # SUB-pixel cells (d10/720p: ~1.4 grid rows per pixel row) the
+        # near-tie class is denser and even the hyps=2 render measures
+        # ~30 dB. The regression canary floor follows.
+        floor_db = 30.0 if (n - 1) <= 1.1 * args.height else 28.0
+        if impl == "scan" and cross < floor_db:
+            log(f"WARNING: scan-vs-grid PSNR below the ~{floor_db:.0f} dB "
+                "winner-flip floor for this cell density — this indicates "
+                "a scan-kernel regression!")
         elif impl == "scan" and cross < 40.0:
             log("NOTE: the scan path's winner-flip class vs the tiled grid "
                 "(stretched depth-edge triangles, ~0.7% of pixels at d10) "

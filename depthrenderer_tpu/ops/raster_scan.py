@@ -445,18 +445,43 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     syp = jnp.pad(sy, ((0, 0), (0, CL - n_c)), mode="edge")
     cmin = syp.reshape(n_r, nchunks, 128).min(axis=2)  # (n_r, nchunks)
     cmax = syp.reshape(n_r, nchunks, 128).max(axis=2)
-    ks = jnp.arange(max(n_r - 1, 1), dtype=jnp.int32)
     c_lo = cmin[1:, :] if n_r > 1 else cmin
     c_hi = cmax[:-1, :] if n_r > 1 else cmax
     big = jnp.int32(1 << 20)
-    k0 = jnp.min(
-        jnp.where(c_lo[None] <= qy_top[:, None, None], ks[None, :, None], big),
-        axis=1,
-    )  # (nbands, nchunks)
-    k1 = jnp.max(
-        jnp.where(c_hi[None] >= qy_bot[:, None, None], ks[None, :, None], -1),
-        axis=1,
-    )
+    # Two-level first/last-row search (round 3 prep lever): the one-level
+    # form broadcast (nbands, n_r-1, nchunks) compare+reduce tensors; an
+    # 8-row-block level reduce finds the boundary BLOCKS (10x smaller) and
+    # one tiny gather refines the exact first/last row inside them —
+    # bit-identical results (validated exactly on CPU).
+    nk = c_lo.shape[0]
+    nkb = -(-nk // 8)
+    pad_r = ((0, nkb * 8 - nk), (0, 0))
+    c_lo_p = jnp.pad(c_lo, pad_r, constant_values=3.0e38)   # never <= qy_top
+    c_hi_p = jnp.pad(c_hi, pad_r, constant_values=-3.0e38)  # never >= qy_bot
+    bl_lo = c_lo_p.reshape(nkb, 8, nchunks).min(axis=1)
+    bl_hi = c_hi_p.reshape(nkb, 8, nchunks).max(axis=1)
+    bs = jnp.arange(nkb, dtype=jnp.int32)
+    b0 = jnp.min(jnp.where(bl_lo[None] <= qy_top[:, None, None],
+                           bs[None, :, None], big), axis=1)
+    b1 = jnp.max(jnp.where(bl_hi[None] >= qy_bot[:, None, None],
+                           bs[None, :, None], -1), axis=1)
+
+    def _rows_of_block(vals, blk):
+        """Rows blk*8..blk*8+7 of ``vals`` per (band, chunk)."""
+        idx = jnp.clip(blk, 0, nkb - 1)[:, None, :] * 8 \
+            + jnp.arange(8, dtype=jnp.int32)[None, :, None]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(vals[None], (nbands,) + vals.shape), idx, axis=1)
+
+    ri = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+    sat0 = _rows_of_block(c_lo_p, b0) <= qy_top[:, None, None]
+    k0 = jnp.clip(b0, 0, nkb - 1) * 8 + jnp.min(
+        jnp.where(sat0, ri, big), axis=1)
+    k0 = jnp.where(b0 >= big, big, k0)  # (nbands, nchunks); big = no row
+    sat1 = _rows_of_block(c_hi_p, b1) >= qy_bot[:, None, None]
+    k1 = jnp.clip(b1, 0, nkb - 1) * 8 + jnp.max(
+        jnp.where(sat1, ri, -big), axis=1)
+    k1 = jnp.where(b1 < 0, -1, k1)
     empty = k0 > k1
     r_lo = jnp.clip(k0 - config.margin, 0, max(n_r - 2, 0))
     r_hi = jnp.clip(k1 + config.margin, 0, max(n_r - 2, 0))
@@ -486,15 +511,27 @@ def _prep_scan_impl(mvp, vertex_grid, width, height, config: ScanConfig):
     up_hi = jnp.where(up, win[1][1:, :], -inf)               # s[k+1]
     lo_c = up_lo.reshape(RPAD - 1, nchunks, 128).min(axis=2)
     hi_c = up_hi.reshape(RPAD - 1, nchunks, 128).max(axis=2)
-    ks_r = jnp.arange(RPAD - 1, dtype=jnp.int32)
 
     def _multi_flag(kb_g, ke_g):
         # kb_g/ke_g: (nbands, nchunks) global scan bounds (pairs [kb, ke)).
+        # Block-granular conservative form (round 3 prep lever): flag iff
+        # some 8-row block OVERLAPPING the scan range has an up-step whose
+        # straddle interval meets the band. Boundary blocks may overflag
+        # (slot-1 capture merely runs where it needn't — never the
+        # unsound direction) for a 10x smaller broadcast.
+        nr2 = lo_c.shape[0]
+        nb2 = -(-nr2 // 8)
+        pad2 = ((0, nb2 * 8 - nr2), (0, 0))
+        lo_b = jnp.pad(lo_c, pad2, constant_values=3.0e38) \
+            .reshape(nb2, 8, nchunks).min(axis=1)
+        hi_b = jnp.pad(hi_c, pad2, constant_values=-3.0e38) \
+            .reshape(nb2, 8, nchunks).max(axis=1)
+        bs2 = jnp.arange(nb2, dtype=jnp.int32)[None, :, None]
         cond = (
-            (ks_r[None, :, None] >= kb_g[:, None, :])
-            & (ks_r[None, :, None] < ke_g[:, None, :])
-            & (lo_c[None] < qy_top[:, None, None])
-            & (hi_c[None] >= qy_bot[:, None, None])
+            (bs2 * 8 + 7 >= kb_g[:, None, :])
+            & (bs2 * 8 < ke_g[:, None, :])
+            & (lo_b[None] < qy_top[:, None, None])
+            & (hi_b[None] >= qy_bot[:, None, None])
         )
         return jnp.any(cond, axis=1).astype(jnp.int32)
     if config.big_grid:

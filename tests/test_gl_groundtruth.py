@@ -56,6 +56,62 @@ def test_grid_matches_opengl_ground_truth(gl_scene):
     assert overall >= 45.0, f"overall PSNR vs OpenGL {overall:.1f} dB"
 
 
+@pytest.fixture(scope="module")
+def scan_frame(gl_scene):
+    """One interpret-mode scan render at the golden's config (d8/VGA), shared
+    by the GL gate and the scan-vs-grid relative gate below (~40 s warm on
+    one CPU — the cheapest config that exercises the production kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from depthrenderer_tpu.ops import raster_scan
+
+    colour, depth, mesh, mvp, golden = gl_scene
+    n = 2**8 + 1
+    W, H = golden.shape[1], golden.shape[0]
+    cfg = raster_scan.suggest_scan_config(n, W, H)
+    with pltpu.force_tpu_interpret_mode():
+        frame = np.asarray(raster_scan.render_frames_scan(
+            mvp[None], mesh.vertices.reshape(n, n, 3),
+            mesh.texture_coordinates.reshape(n, n, 2),
+            colour.astype(np.float32), W, H, cfg, frame_batch=1,
+            interpret=True))[0]
+    return frame
+
+
+def test_scan_matches_opengl_ground_truth(gl_scene, scan_frame):
+    """The PRODUCTION fast path (scan, default config) vs the real-GL golden.
+
+    VERDICT r3 next-round #3: a scan fidelity regression must fail pytest,
+    not just surface as a bench footnote. Measured 42.1 dB masked at HEAD
+    (suggest_scan_config defaults incl. pack_xy); BASELINE bar is 40."""
+    colour, depth, mesh, mvp, golden = gl_scene
+    away = masked_psnr(scan_frame, golden, depth=depth)
+    assert away >= 40.0, f"scan masked PSNR vs OpenGL {away:.1f} dB < 40"
+
+
+def test_scan_within_reach_of_lossless_grid(gl_scene, scan_frame):
+    """Relative gate: scan vs the LOSSLESS grid render at the same config.
+
+    Catches regressions the absolute GL gate's 2 dB headroom would hide —
+    at d8/VGA (multi-pixel cells) the two implementations agree to 0.178%
+    flipped pixels (measured at r4 HEAD, default config); gate at 2x that."""
+    from depthrenderer_tpu.ops.raster_grid import measured_config
+
+    colour, depth, mesh, mvp, golden = gl_scene
+    n = 2**8 + 1
+    W, H = golden.shape[1], golden.shape[0]
+    cfg_ll = measured_config(mvp[None], mesh.vertices.reshape(n, n, 3), W, H,
+                             quantile=1.0, row_anchors=2)
+    grid = np.asarray(render_frame_grid(
+        mvp, mesh.vertices.reshape(n, n, 3),
+        mesh.texture_coordinates.reshape(n, n, 2),
+        colour.astype(np.float32), W, H, cfg_ll))
+    flips = (np.abs(scan_frame.astype(int) - grid.astype(int)).max(-1)
+             > 8).mean()
+    assert flips <= 0.0036, \
+        f"scan-vs-lossless-grid flip fraction {flips:.4%} > 0.36%"
+
+
 def test_oracle_matches_opengl_ground_truth(gl_scene):
     # The numpy oracle is this package's internal ground truth; pin it to the
     # external one so every other implementation is transitively GL-anchored.

@@ -90,9 +90,9 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                         "and --sharded paths.")
     p.add_argument("--quality", action="store_true",
                    help="Fidelity-over-speed mode for the scan fast path "
-                        "(row-edge two-pass union + dual-column records; "
-                        "sequential path only — the sharded farm keeps the "
-                        "default config for one compiled kernel shape).")
+                        "(row-edge two-pass union + dual-column records); "
+                        "applies to both the sequential and --sharded paths "
+                        "(errors if the resolved impl is not 'scan').")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
@@ -286,9 +286,23 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
     n = 2 ** args.mesh_density + 1
     impl = _auto_impl(n, args.edge_cull) if args.impl == "auto" else args.impl
+    scan_config = None
+    if args.quality:
+        # Thread the fidelity knob into the farm (VERDICT r3 next-round #8) —
+        # or fail loudly: a silently-ignored --quality shipped fast frames
+        # labelled as quality ones.
+        if impl != "scan":
+            raise SystemExit(
+                f"--quality requires the scan rasteriser (resolved impl is "
+                f"'{impl}'): pass --impl scan, or drop --quality.")
+        from .ops.raster_scan import suggest_scan_config
+
+        scan_config = suggest_scan_config(
+            n, out_w, out_h, quality=True,
+            edge_cull_threshold=args.edge_cull)
     device_mesh = make_render_mesh()
     log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s) "
-        f"(impl={impl}).")
+        f"(impl={impl}{', quality' if args.quality else ''}).")
 
     base_mesh = None
     vgrids, model_names, video_sources, writers, png_tasks = [], [], [], [], []
@@ -372,7 +386,7 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
         mvps = np.broadcast_to(mvps_all[start:stop], (S, stop - start, 4, 4)).copy()
         frames = np.asarray(render_scenes_sharded(
             device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
-            frame_batch=stop - start, impl=impl,
+            frame_batch=stop - start, impl=impl, scan_config=scan_config,
         ))  # (S, Tc, H, W, 4)
         for s in range(S):
             for k in range(stop - start):

@@ -1164,14 +1164,19 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
 
                     def hyp2_body(b, s=s, sxc_t=sxc_t, zc_t=zc_t):
                         def _sweep2(sx_w, zz_w, iota_w, Lw):
+                            # Interval bracket test — see _sweep above.
                             sx_r = pltpu.roll(sx_w, Lw - 1, 0)
+                            mn_w = jnp.minimum(sx_w, sx_r)
+                            mx_w = jnp.maximum(sx_w, sx_r)
+                            lastc = jax.lax.broadcasted_iota(
+                                jnp.int32, mx_w.shape, 0) == Lw - 1
+                            mx_w = jnp.where(lastc, jnp.float32(-_FAR), mx_w)
                             hyp2 = []
                             for y in range(8):
-                                c = sx_w[:, y : y + 1]
                                 zz = zz_w[:, y : y + 1]
-                                f = c - (qx[y : y + 1, :])
-                                f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
-                                hit = (f * f2 <= 0.0) & (iota_w < Lw - 1)
+                                qxy = qx[y : y + 1, :]
+                                hit = ((qxy >= mn_w[:, y : y + 1])
+                                       & (qxy <= mx_w[:, y : y + 1]))
                                 key = jnp.where(hit, zz, _FAR)
                                 m1 = jnp.min(key, axis=0, keepdims=True)
                                 o1 = jnp.min(
@@ -1229,19 +1234,28 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     # (`mid`), and only fold-heavy blocks (span > 126 cols)
                     # fall back to the full dense cw sweep.
                     def _sweep(sx_w, zz_w, iota_w, Lw):
-                        # One (Lw, 8) curve roll replaces 8 (Lw, 128) f-rolls:
-                        # f2[c] = sx[(c+1) % Lw] - qx, bit-identical to
-                        # roll(f, Lw-1) (sublane rotation of the full f tile
-                        # measured as the march's most expensive per-y op).
+                        # Interval form of the bracket test (round 4): the
+                        # sign test f*f2 <= 0 with f = sx[c]-qx, f2 =
+                        # sx[c+1]-qx is EXACTLY qx in [min, max] of the pair
+                        # (float subtraction preserves sign, and the interval
+                        # form cannot even underflow) — precomputing the
+                        # (Lw, 8) min/max once per block drops the per-y hot
+                        # ops from 2 subs + mul + cmp + and to 2 cmps + and
+                        # (march measured as the flattest-profile leader).
+                        # The last-column iota mask folds into mx = -FAR.
                         sx_r = pltpu.roll(sx_w, Lw - 1, 0)
+                        mn_w = jnp.minimum(sx_w, sx_r)
+                        mx_w = jnp.maximum(sx_w, sx_r)
+                        lastc = jax.lax.broadcasted_iota(
+                            jnp.int32, mx_w.shape, 0) == Lw - 1
+                        mx_w = jnp.where(lastc, jnp.float32(-_FAR), mx_w)
                         hyp1 = []
                         counts = []
                         for y in range(8):
-                            c = sx_w[:, y : y + 1]       # (Lw, 1)
                             zz = zz_w[:, y : y + 1]
-                            f = c - (qx[y : y + 1, :])   # (Lw, 128)
-                            f2 = sx_r[:, y : y + 1] - (qx[y : y + 1, :])
-                            hit = (f * f2 <= 0.0) & (iota_w < Lw - 1)
+                            qxy = qx[y : y + 1, :]       # (1, 128)
+                            hit = ((qxy >= mn_w[:, y : y + 1])
+                                   & (qxy <= mx_w[:, y : y + 1]))
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)
                             o1 = jnp.min(
@@ -1304,21 +1318,27 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, win_hbm,
                     cmin = jnp.min(sub)
                     cmax = jnp.max(jnp.where(real, sub, jnp.float32(-_FAR)))
                     gate = (cmin <= qx1) & (cmax >= qx0 - 64.0)
-                    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0)
-                    pmask = iota_l < (128 if L == 136 else 127)
-                    iota_lf = iota_l.astype(jnp.float32)
+                    iota_lf = jax.lax.broadcasted_iota(
+                        jnp.int32, (L, 128), 0).astype(jnp.float32)
 
-                    def chunk_body(carry, sub=sub, subz=subz, pmask=pmask,
+                    def chunk_body(carry, sub=sub, subz=subz,
                                    iota_lf=iota_lf, lo=lo, L=L):
                         m1_a, o1_a, cnt_a = carry
+                        # Interval bracket test — see _sweep above; the
+                        # partial-chunk row mask folds into mx = -FAR.
                         sub_r = pltpu.roll(sub, L - 1, 0)
+                        mn_w = jnp.minimum(sub, sub_r)
+                        mx_w = jnp.maximum(sub, sub_r)
+                        rowbad = jax.lax.broadcasted_iota(
+                            jnp.int32, mx_w.shape, 0) >= (128 if L == 136
+                                                          else 127)
+                        mx_w = jnp.where(rowbad, jnp.float32(-_FAR), mx_w)
                         m1s, o1s, cnts = [], [], []
                         for y in range(8):
-                            c = sub[:, y : y + 1]     # (L, 1)
                             zz = subz[:, y : y + 1]
-                            f = c - (qx[y : y + 1, :])  # (L, 128)
-                            f2 = sub_r[:, y : y + 1] - (qx[y : y + 1, :])
-                            hit = (f * f2 <= 0.0) & pmask
+                            qxy = qx[y : y + 1, :]
+                            hit = ((qxy >= mn_w[:, y : y + 1])
+                                   & (qxy <= mx_w[:, y : y + 1]))
                             key = jnp.where(hit, zz, _FAR)
                             m1 = jnp.min(key, axis=0, keepdims=True)
                             o1 = jnp.min(
@@ -2478,9 +2498,16 @@ def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,
     n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
     if config is None or not isinstance(config, ScanConfig):
         config = suggest_scan_config(n_r, width, height)
-    assert not config.row_edge, \
-        ("the row-edge quality pipeline is host-orchestrated (two kernel "
-         "launches + merge); pass a single-pass config to the sharded path")
+    if config.row_edge:
+        # In-trace quality pipeline (round 4): the sharded farm's --quality
+        # path. Both passes and the u32 depth-merge are traceable; only the
+        # f64 host inverse of render_frames_scan_quality is unavailable under
+        # jit, so (like this function's fast path) the inverse runs in-trace
+        # f32 — ~1e-6 relative error, far below 8-bit output quantisation.
+        assert mode == "texture", \
+            "sharded row_edge supports texture mode only"
+        return _scan_quality_traceable(mvps, vertex_grid, texture_f32,
+                                       width, height, config, interpret)
     mvps = jnp.asarray(mvps, jnp.float32)
     minv = jnp.linalg.inv(mvps)
     minv_rows = jnp.concatenate([minv[:, 2], minv[:, 3]], axis=1)  # (T, 8)
@@ -2499,4 +2526,52 @@ def render_frames_scan_traceable(mvps, vertex_grid, uv_grid, texture_f32,
         width, height, n_r, n_c, config, mode, interpret,
     )
     u8 = jax.lax.bitcast_convert_type(bands, jnp.uint8)
+    return u8[:, :height, :width]
+
+
+def _scan_quality_traceable(mvps, vertex_grid, texture_f32, width, height,
+                            config: ScanConfig, interpret: bool):
+    """Traceable (jit/shard_map-safe) row-edge quality render -> (T,H,W,4) u8.
+
+    The in-trace form of :func:`render_frames_scan_quality`'s texture_z fast
+    path: pass 1 (column records) + pass 2 (the transposed row-edge pass) are
+    in-kernel shaded and u32 depth-merged. The clip-space swap
+    ``_ROW_EDGE_SWAP @ mvp`` only permutes/negates rows, so it is applied by
+    indexing (EXACT — a device matmul would round through bf16 and collapse
+    the near-identical perspective rows 2/3; see CLAUDE.md precision rule).
+    """
+    n_r, n_c = vertex_grid.shape[0], vertex_grid.shape[1]
+    mvps = jnp.asarray(mvps, jnp.float32)
+    # Row swap/negate (ndcx' = -ndcy, ndcy' = -ndcx) without a matmul.
+    mvps2 = jnp.stack([-mvps[:, 1], -mvps[:, 0], mvps[:, 2], mvps[:, 3]],
+                      axis=1)
+    cfg1 = dataclasses.replace(config, row_edge=False,
+                               tex_rows=max(config.tex_rows, 128),
+                               tex_cols=max(config.tex_cols, 384))
+    cfg2 = suggest_scan_config(
+        max(n_r, n_c), height, width, sr=config.sr, off=config.off,
+        dmax=config.dmax, hyps=config.hyps,
+        edge_cull_threshold=config.edge_cull_threshold,
+        tex_rows=192, tex_cols=384)
+    vgrid_t = jnp.transpose(vertex_grid, (1, 0, 2))
+    texture_f32 = jnp.asarray(texture_f32, jnp.float32)
+    tex_t = jnp.transpose(texture_f32, (1, 0, 2))
+
+    def one_pass(m, vg, tex, w, h, cfg):
+        ht, wt = int(tex.shape[0]), int(tex.shape[1])
+        rpad_t = max(_ceil_to(ht, 8), cfg.tex_rows)
+        cpad_t = max(_ceil_to(wt, 128), cfg.tex_cols)
+        texq = _pack_texture(tex, rpad_t, cpad_t)
+        minv = jnp.linalg.inv(m)
+        minv_rows = jnp.concatenate([minv[:, 2], minv[:, 3]], axis=1)
+        win, w0, bounds, canch, mid, _ = jax.vmap(
+            lambda mm: _prep_scan_impl(mm, vg, w, h, cfg))(m)
+        return _raster_scan_pallas(
+            win, texq, (ht, wt), minv_rows, w0, bounds, canch, mid,
+            w, h, vg.shape[0], vg.shape[1], cfg, "texture_z", interpret)
+
+    r1, z1 = one_pass(mvps, vertex_grid, texture_f32, width, height, cfg1)
+    r2, z2 = one_pass(mvps2, vgrid_t, tex_t, height, width, cfg2)
+    merged = _merge_row_edge_raw(r1, z1, r2, z2, width, height)
+    u8 = jax.lax.bitcast_convert_type(merged, jnp.uint8)
     return u8[:, :height, :width]

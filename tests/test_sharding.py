@@ -158,3 +158,36 @@ def test_frames_sharded_scan_interpret(checker_texture):
     assert frames.shape == single.shape
     diff = np.any(frames.astype(int) != single.astype(int), axis=-1)
     assert diff.mean() < 1e-3, f"{diff.sum()} pixels differ from single-device"
+
+
+def test_frames_sharded_scan_quality(checker_texture):
+    """--quality on the sharded farm (VERDICT r3 next-round #8): the row-edge
+    two-pass union must run in-trace under shard_map and match the
+    host-orchestrated quality pipeline."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from depthrenderer_tpu.ops import raster_scan
+
+    vgrid, uvgrid, tex, proj, cam, sway = tiny_scene(checker_texture)
+    W, H = 64, 48
+    times = animation.frame_times(4, 24.0)
+    views = np.asarray(sway.batch(times))
+    mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
+
+    n = vgrid.shape[0]
+    qcfg = raster_scan.ScanConfig(rmax=16, cw=128, sr=8, off=3,
+                                  dual_col=True, row_edge=True)
+    mesh = make_render_mesh()
+    frames = np.asarray(render_frames_sharded(
+        mesh, mvps, vgrid, uvgrid, tex, W, H, CFG, impl="scan",
+        scan_config=qcfg,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(raster_scan.render_frames_scan(
+            mvps, vgrid, uvgrid, tex, W, H, qcfg, frame_batch=4,
+            interpret=True))
+    assert frames.shape == single.shape
+    # The traceable path's f32 in-trace MVP inverse vs the host f64 one can
+    # flip near-tie winners on a handful of pixels; everything else matches.
+    diff = np.any(frames.astype(int) != single.astype(int), axis=-1)
+    assert diff.mean() < 2e-3, f"{diff.sum()} pixels differ from single-device"

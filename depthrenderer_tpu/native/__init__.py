@@ -29,7 +29,8 @@ def build(force: bool = False) -> bool:
     if _LIB.exists() and not force and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", str(_LIB), str(_SRC), "-lz"]
+    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", str(_LIB), str(_SRC), "-lz",
+           "-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -67,6 +68,13 @@ def _load():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.jpeg_encode.restype = ctypes.c_size_t
+    lib.jpeg_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.jpeg_encode_bound.restype = ctypes.c_size_t
+    lib.jpeg_encode_bound.argtypes = [ctypes.c_int32, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -93,6 +101,28 @@ def png_encode(image, level: int = 3) -> bytes:
                        out, cap)
     if n == 0:
         raise RuntimeError("native png_encode failed")
+    return out.raw[:n]
+
+
+def jpeg_encode(image, quality: int = 92) -> bytes:
+    """Encode a top-down (H, W, 3|4) uint8 image as baseline JFIF JPEG bytes.
+
+    The native MJPEG farm-encode path (4:2:0, spec Annex K Huffman tables);
+    raises RuntimeError if the native library is unavailable.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native frameops library unavailable")
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w, c = image.shape
+    cap = lib.jpeg_encode_bound(w, h)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.jpeg_encode(image.ctypes.data_as(ctypes.c_char_p), w, h, c,
+                        quality, out, cap)
+    if n == 0:
+        raise RuntimeError("native jpeg_encode failed")
     return out.raw[:n]
 
 

@@ -26,6 +26,55 @@ def frames_gradient(n, w, h):
     return out
 
 
+def test_native_jpeg_encoder_roundtrip():
+    """The in-house baseline-JPEG encoder (frameops.c, VERDICT r3 #6) must
+    produce Pillow-decodable frames at Pillow-equivalent quality."""
+    from depthrenderer_tpu import native
+
+    if not native.available():
+        pytest.skip("no C compiler for the native library")
+    # Smooth natural-ish image (4:2:0 chroma subsampling is part of the
+    # format; sharp chroma edges bound ANY baseline encoder the same way).
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (128 + 100 * np.sin(xx / 9.0)).astype(np.uint8),
+        (128 + 100 * np.cos(yy / 7.0)).astype(np.uint8),
+        ((xx + yy) * 255 // (w + h)).astype(np.uint8),
+    ], axis=-1)
+    jb = native.jpeg_encode(img, quality=92)
+    dec = np.asarray(Image.open(__import__("io").BytesIO(jb)).convert("RGB"))
+    mse = ((dec.astype(int) - img.astype(int)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr >= 35.0, f"native JPEG roundtrip {psnr:.1f} dB"
+    # Pillow at the same quality as the yardstick: within 3 dB.
+    import io as _io
+
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92)
+    pdec = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
+    pmse = ((pdec.astype(int) - img.astype(int)) ** 2).mean()
+    ppsnr = 10 * np.log10(255**2 / max(pmse, 1e-9))
+    assert psnr >= ppsnr - 3.0, f"native {psnr:.1f} vs Pillow {ppsnr:.1f}"
+
+
+def test_avi_mjpg_native_encoder_path(tmp_path, monkeypatch):
+    """The MJPG container path must work end-to-end with the native encoder
+    forced (the no-Pillow deployment path)."""
+    from depthrenderer_tpu import native
+
+    if not native.available():
+        pytest.skip("no C compiler for the native library")
+    monkeypatch.setenv("DEPTHRENDERER_FORCE_NATIVE_JPEG", "1")
+    w, h, n = 48, 32, 3
+    path = tmp_path / "t.avi"
+    with video.AviFile(path, (w, h), fps=24, codec="MJPG") as f:
+        for frame in frames_gradient(n, w, h):
+            f.write(frame)
+    frames = video.read_video_frames(path)
+    assert len(frames) == n and frames[0].shape[:2] == (h, w)
+
+
 def test_avi_dib_roundtrip(tmp_path):
     w, h, n = 32, 24, 5
     path = tmp_path / "t.avi"

@@ -23,6 +23,12 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--view", type=int, default=40)
+    ap.add_argument("--identity", action="store_true",
+                    help="Use the true identity view (proj @ cam — the "
+                         "frontal GL-golden pose) instead of a sway frame.")
+    ap.add_argument("--nearer-only", action="store_true",
+                    help="Sample only flips where the scan winner is NEARER "
+                         "than the grid's (the frontal false-coverage class).")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -55,7 +61,10 @@ def main():
     proj = np.asarray(transforms.perspective(18.0, W / H))
     cam = np.asarray(transforms.translation(dz=-10.0))
     mvps = (proj[None] @ (cam[None] @ views)).astype(np.float32)
-    mvp1 = mvps[args.view:args.view + 1]
+    if args.identity:
+        mvp1 = (proj @ cam).astype(np.float32)[None]
+    else:
+        mvp1 = mvps[args.view:args.view + 1]
 
     gcfg = measured_config(mvps, np.asarray(vgrid_np), W, H, quantile=1.0,
                            row_anchors=2)
@@ -76,9 +85,10 @@ def main():
     minv_rows = jnp.asarray(
         np.concatenate([minv[2], minv[3]]).astype(np.float32))[None]
     prep = raster_scan._prep_scan_batched(jnp.asarray(mvp1), vgrid, W, H, scfg)
-    win, w0, bounds, canch, _ = prep
+    win, w0, bounds, canch, mid, _ = prep
     bands = np.asarray(raster_scan._raster_scan_pallas(
-        win, texq, (ht, wt), minv_rows, w0, bounds, canch, W, H, n, n, scfg))
+        win, texq, (ht, wt), minv_rows, w0, bounds, canch, mid, W, H, n, n,
+        scfg))
     nbands = -(-H // 8)
     WL = bands.shape[-1]
     planes = bands[0].transpose(1, 0, 2, 3).reshape(8, nbands * 8, WL)
@@ -89,6 +99,14 @@ def main():
     d = np.abs(st.astype(int) - gt.astype(int)).max(-1)
     flips = d > 8
     print(f"flips: {flips.mean() * 100:.3f}%")
+    if args.nearer_only:
+        gz = np.asarray(render_frames_grid(
+            mvp1, vgrid, uvgrid, tex_dev, W, H, gcfg, frame_batch=1,
+            mode="debug_z"))[0][..., 0].astype(np.float32) / 255.0
+        zm_im = planes[2][:H, :W]  # scan winner model z
+        nearer = (zm_im - gz) < -4.0 / 255.0
+        flips = flips & nearer
+        print(f"scan-NEARER flips: {flips.mean() * 100:.3f}%")
 
     # Host-side f64 projection of every grid vertex.
     P = np.asarray(mvp1[0], np.float64)

@@ -580,3 +580,79 @@ def test_scan_dual_col_matches_oracle(checker_texture):
                          W, H, cfg_dual_packed)
     same = (got_p == got).all(axis=-1).mean()
     assert same > 0.90, f"dual packed vs unpacked agreement {same:.4%}"
+
+
+def test_scan_patch_closes_flagged_holes():
+    """The hole-driven sparse patch pass (``ScanConfig.patch``) must close
+    every pass-1 coverage hole its flag logic marks (background strictly
+    inside a covered column/row span), leave unflagged pixels no worse than
+    the single pass, and its traceable form must match the eager pipeline
+    bit-for-bit. Scene: a fold-heavy random grid at a pose measured to leave
+    ~4% single-pass holes at these (deliberately tight) scan knobs."""
+    import jax.numpy as jnp
+
+    from depthrenderer_tpu import meshgen
+
+    rng = np.random.default_rng(1)
+    depth = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    verts, uvs, idx = meshgen.grid_mesh(depth, 3)
+    verts = np.asarray(verts).copy()
+    uvs = np.asarray(uvs)
+    idx = np.asarray(idx)
+    verts[:, 2] *= 4.0
+    mvp = (
+        np.asarray(transforms.perspective(18.0, 32 / 24))
+        @ np.asarray(transforms.translation(dz=-13.0))
+        @ np.asarray(transforms.rotation(np.deg2rad(20.0), axis=Axis.Y))
+    ).astype(np.float32)
+    W, H = 64, 48
+    n = 9
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    texf = np.full((24, 32, 4), 200, np.float32)
+    want = raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, texf.astype(np.uint8), W, H)
+
+    cfgp = dataclasses.replace(CFG, patch=True)
+    with pltpu.force_tpu_interpret_mode():
+        _, z1, _ = raster_scan._scan_rgba_z_grouped(
+            jnp.asarray(mvp[None]), jnp.asarray(vg), jnp.asarray(texf),
+            W, H, CFG, True, 1)
+        single = np.asarray(raster_scan.render_frames_scan(
+            mvp[None], vg, uvg, texf, W, H, CFG, "texture",
+            interpret=True))[0]
+        patched = np.asarray(raster_scan.render_frames_scan(
+            mvp[None], vg, uvg, texf, W, H, cfgp, "texture",
+            interpret=True))[0]
+        traced = np.asarray(raster_scan.render_frames_scan_traceable(
+            jnp.asarray(mvp[None]), jnp.asarray(vg), jnp.asarray(uvg),
+            jnp.asarray(texf), W, H, cfgp, "texture", interpret=True))[0]
+
+    # Recompute the flag mask the pipeline used (pixel-granular form).
+    z = np.asarray(z1)[0, :H, :W]
+    cov = z < raster_scan._FAR * 0.5
+    rr = np.arange(H)[:, None]
+    cc = np.arange(W)[None, :]
+    big = 1 << 20
+    ymin = np.where(cov, rr, big).min(axis=0)
+    ymax = np.where(cov, rr, -1).max(axis=0)
+    xmin = np.where(cov, cc, big).min(axis=1)
+    xmax = np.where(cov, cc, -1).max(axis=1)
+    flag = ~cov & (((rr > ymin[None]) & (rr < ymax[None]))
+                   | ((cc > xmin[:, None]) & (cc < xmax[:, None])))
+    ocov = want.max(axis=-1) > 0
+    flagged_holes = flag & ocov
+    assert flagged_holes.sum() > 100  # the scene exercises the machinery
+
+    closed = (np.abs(patched.astype(int) - want.astype(int)).max(axis=-1)
+              <= 8)
+    assert closed[flagged_holes].all(), (
+        f"{(~closed & flagged_holes).sum()} flagged holes left open")
+
+    def flips(a):
+        return (np.abs(a.astype(int) - want.astype(int)).max(axis=-1)
+                > 8).mean()
+
+    assert flips(patched) < 0.55 * flips(single), (flips(patched),
+                                                   flips(single))
+    assert np.array_equal(traced, patched)

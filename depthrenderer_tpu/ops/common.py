@@ -18,14 +18,17 @@ the reference's OpenGL semantics):
   ``v = 1`` maps to texture row 0 (top) because this framework keeps images top-down
   (the reference flips at load instead — same texels either way).
 * Background = the reference's clear colour: black, alpha 1 (``render.py:634``).
-* **Near-plane handling** (round 3): triangles with any corner at
-  ``clip_w <= 0`` are MASKED by the oracle, soup, grid and tiled-Pallas paths
-  (``valid &= inv_w > 0`` at triangle setup). GL instead clips such triangles
-  to the frustum, so the visible difference is confined to primitives
-  STRADDLING the camera plane (documented approximation). The scan kernel
-  assumes ``clip_w > 0`` throughout; ``render_clip`` detects offending views
-  and falls back to the tiled path. This matters only for extreme camera poses
-  (the reference CLI's camera stays ~10 units from a depth-4 scene).
+* **Near-plane handling**: the oracle and the soup path CLIP triangles
+  straddling the camera plane exactly as GL's fixed-function pipeline does
+  (host-side f64 Sutherland-Hodgman against ``clip_w = eps``,
+  ``raster_reference.clip_near_plane``, round 4) — after which the per-pixel
+  ``z_ndc ∈ [-1, 1]`` test reproduces the GL near/far planes. The grid,
+  tiled-Pallas and scan production paths keep the round-3 approximation:
+  straddling triangles are MASKED (``valid &= inv_w > 0`` at setup; the scan
+  prep masks ``clip_w <= 0`` with finite sentinels). The visible difference
+  is confined to primitives straddling the camera plane, which only extreme
+  camera poses produce (the reference CLI's camera stays ~10 units from a
+  depth-4 scene); tests/test_near_clip.py pins the clipped semantics.
 """
 
 from __future__ import annotations
@@ -82,7 +85,10 @@ class RasterConfig:
         assert self.tile_h > 0 and self.tile_w > 0
         assert self.window_rows > 0 and self.window_cols > 0
         assert self.chunk_tris > 0 and self.patch_size > 0
-        assert self.row_anchors in (1, 2)
+        # The XLA grid path merges any number of row-anchored windows by
+        # depth (round 4); the Pallas tiled path implements 1 or 2 (it
+        # asserts separately).
+        assert self.row_anchors >= 1
 
 
 def suggest_config(grid_n: int, width: int, height: int, **overrides) -> RasterConfig:

@@ -51,6 +51,77 @@ def _bilinear(texture, u, v):
     return top + (bot - top) * fy
 
 
+def clip_near_plane(vertices, uvs, indices, mvp, eps=1e-9):
+    """Clip triangles straddling the camera plane (``clip_w = eps``) host-side.
+
+    GL clips primitives to the frustum in clip space (fixed-function, fed by
+    ``glDrawElements`` — ``DepthRenderer/render.py:448``); every vertex it
+    keeps has ``clip_w > 0``. This package's rasterisers instead apply the
+    near/far planes per PIXEL (``z_ndc ∈ [-1, 1]``), which is exact whenever
+    all three corners have ``clip_w > 0`` (screen-space barycentrics are then
+    projectively valid). The one gap is triangles STRADDLING ``clip_w = 0``:
+    a sign-flipped corner corrupts the whole projected triangle, so they used
+    to be masked wholesale (the round-3 documented approximation). This
+    Sutherland-Hodgman pass closes the gap: it clips exactly those triangles
+    against ``clip_w = eps`` in MODEL space (``clip_w`` is affine in the
+    model-space position, so the interpolation parameter from the w values is
+    exact, in f64), after which the per-pixel z test reproduces GL's near
+    clip exactly (intersection attrs lerp identically).
+
+    :return: (vertices2, uvs2, indices2) numpy arrays — unchanged inputs when
+        nothing straddles (the common case: a fast any() bail-out).
+    """
+    vertices = np.asarray(vertices, np.float64)
+    uvs = np.asarray(uvs, np.float64)
+    tri = np.asarray(indices).reshape(-1, 3)
+    mvp = np.asarray(mvp, np.float64)
+    w = vertices @ mvp[3, :3] + mvp[3, 3]  # clip_w per vertex (affine)
+    inside = w > eps
+    tin = inside[tri]                      # (T, 3)
+    nin = tin.sum(axis=1)
+    straddle = (nin > 0) & (nin < 3)
+    if not straddle.any():
+        keep = nin == 3
+        if keep.all():
+            return (np.asarray(vertices), np.asarray(uvs),
+                    np.asarray(indices).reshape(-1))
+        return np.asarray(vertices), np.asarray(uvs), tri[keep].reshape(-1)
+
+    new_v, new_uv, new_idx = [list(vertices)], [list(uvs)], []
+    vcount = len(vertices)
+    verts_l, uvs_l = new_v[0], new_uv[0]
+
+    def intersect(a, b):
+        """Model-space lerp to the w = eps crossing between vertices a, b."""
+        nonlocal vcount
+        t = (eps - w[a]) / (w[b] - w[a])
+        verts_l.append(vertices[a] + (vertices[b] - vertices[a]) * t)
+        uvs_l.append(uvs[a] + (uvs[b] - uvs[a]) * t)
+        vcount += 1
+        return vcount - 1
+
+    for ti in range(len(tri)):
+        if nin[ti] == 0:
+            continue
+        if not straddle[ti]:
+            new_idx.extend(tri[ti])
+            continue
+        # Sutherland-Hodgman around the triangle: emit kept vertices and
+        # edge crossings in winding order -> a 3- or 4-gon, fanned.
+        poly = []
+        for k in range(3):
+            a, b = tri[ti][k], tri[ti][(k + 1) % 3]
+            if inside[a]:
+                poly.append(a)
+            if inside[a] != inside[b]:
+                poly.append(intersect(a, b))
+        for k in range(1, len(poly) - 1):
+            new_idx.extend((poly[0], poly[k], poly[k + 1]))
+
+    return (np.asarray(verts_l, np.float64), np.asarray(uvs_l, np.float64),
+            np.asarray(new_idx, np.int64))
+
+
 def rasterize_reference(vertices, uvs, indices, mvp, texture, width, height,
                         mode="texture", edge_cull_threshold=None):
     """Render a triangle soup with the brute-force oracle.
@@ -65,6 +136,10 @@ def rasterize_reference(vertices, uvs, indices, mvp, texture, width, height,
     :param edge_cull_threshold: optional model-z spread cull.
     :return: (height, width, 4) uint8 frame, top-down.
     """
+    # Near-plane parity (round 4): clip camera-plane-straddling triangles the
+    # way GL's fixed-function pipeline does (exact; a no-op bail-out for the
+    # overwhelmingly common all-in-front case).
+    vertices, uvs, indices = clip_near_plane(vertices, uvs, indices, mvp)
     vertices = np.asarray(vertices, np.float64)
     uvs = np.asarray(uvs, np.float64)
     tri = np.asarray(indices).reshape(-1, 3)
@@ -80,11 +155,9 @@ def rasterize_reference(vertices, uvs, indices, mvp, texture, width, height,
         p2[:, 0] - p0[:, 0]
     )
     valid = area2 > 1e-12  # back-face + degenerate cull (CCW front)
-    # Near-plane handling (round 3): triangles with any corner at clip_w <= 0
-    # project sign-flipped, so mask them entirely. GL instead clips such
-    # triangles to the frustum (render.py:448 fixed-function clipping) —
-    # dropping the whole primitive is the documented approximation; it only
-    # differs for triangles STRADDLING the camera plane.
+    # After clip_near_plane every straddling triangle has been subdivided at
+    # clip_w = eps, so this mask only drops fully-behind-camera triangles
+    # (it would be a no-op but for all-w<=0 inputs reaching here directly).
     valid &= (w0 > 0) & (w1 > 0) & (w2 > 0)
 
     if edge_cull_threshold is not None:

@@ -20,8 +20,6 @@ import jax.numpy as jnp
 from . import common
 
 
-@partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_tris",
-                                   "edge_cull_threshold"))
 def rasterize_soup(vertices, uvs, indices, mvp, texture_f32, width, height,
                    mode="texture", chunk_tris=256, edge_cull_threshold=None):
     """Render a triangle soup.
@@ -33,7 +31,44 @@ def rasterize_soup(vertices, uvs, indices, mvp, texture_f32, width, height,
     :param texture_f32: (Ht, Wt, 4) float32 texture in the 0..255 range.
     :param width, height: output size in pixels (static).
     :return: (height, width, 4) uint8 frame, top-down.
+
+    Host (non-traced) calls get exact GL near-plane semantics: triangles
+    straddling the camera plane are Sutherland-Hodgman-clipped in f64 before
+    tracing (:func:`..raster_reference.clip_near_plane`), with the clipped
+    soup bucket-padded (degenerate triangles / zero vertices) so pose changes
+    do not force a recompile per straddle count. Traced callers keep the
+    documented round-3 approximation (whole straddling triangles masked).
     """
+    import numpy as np
+
+    if not any(isinstance(a, jax.core.Tracer)
+               for a in (vertices, uvs, indices, mvp)):
+        from .raster_reference import clip_near_plane
+
+        v_np = np.asarray(vertices)
+        mvp_np = np.asarray(mvp, np.float64)
+        w = v_np.astype(np.float64) @ mvp_np[3, :3] + mvp_np[3, 3]
+        if (w <= 0).any():
+            v2, uv2, idx2 = clip_near_plane(v_np, np.asarray(uvs),
+                                            np.asarray(indices), mvp_np)
+            # Bucket-pad: triangles to chunk_tris (degenerate all-index-0
+            # entries are area-culled), vertices/uvs to 256 rows.
+            tpad = (-(len(idx2) // 3)) % chunk_tris
+            idx2 = np.concatenate([idx2, np.zeros(3 * tpad, idx2.dtype)])
+            vpad = (-len(v2)) % 256
+            v2 = np.concatenate([v2, np.zeros((vpad, 3), v2.dtype)])
+            uv2 = np.concatenate([uv2, np.zeros((vpad, 2), uv2.dtype)])
+            vertices, uvs, indices = v2, uv2, idx2
+    return _rasterize_soup_jit(vertices, uvs, indices, mvp, texture_f32,
+                               width, height, mode, chunk_tris,
+                               edge_cull_threshold)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_tris",
+                                   "edge_cull_threshold"))
+def _rasterize_soup_jit(vertices, uvs, indices, mvp, texture_f32, width,
+                        height, mode="texture", chunk_tris=256,
+                        edge_cull_threshold=None):
     vertices = jnp.asarray(vertices, jnp.float32)
     uvs = jnp.asarray(uvs, jnp.float32)
     tri = jnp.asarray(indices, jnp.int32).reshape(-1, 3)

@@ -91,9 +91,18 @@ def production_scene(width, height, density):
 
 
 def bench_view(proj, cam, view: str, frames=64, fps=60.0):
-    """MVP for 'frontal' or 'sway:K' (frame K of the bench's 64-frame path)."""
+    """MVP for 'frontal', 'sway:K' (frame K of the bench's 64-frame path) or
+    'near:DZ,ROT' (camera DZ units out, ROT degrees about Y — with DZ inside
+    the displaced depth range the pose STRADDLES the camera plane, pinning
+    GL's fixed-function near clipping; tests/test_near_clip.py)."""
     if view == "frontal":
         return (proj @ cam).astype(np.float32)
+    if view.startswith("near:"):
+        dz, rot = (float(x) for x in view.split(":")[1].split(","))
+        pose = (proj @ np.asarray(transforms.translation(dz=-dz))
+                @ np.asarray(transforms.rotation(np.deg2rad(rot),
+                                                 axis=transforms.Axis.Y)))
+        return pose.astype(np.float32)
     assert view.startswith("sway:"), view
     from depthrenderer_tpu import animation
 

@@ -99,6 +99,13 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                         "depth-merged) + dual-column self-contained records "
                         "close the strip-window and realign-cap coverage-"
                         "hole classes (~3x frame time; ROADMAP.md).")
+    p.add_argument("--patch", action="store_true",
+                   help="Mid-tier fidelity mode for the scan fast path: the "
+                        "hole-driven SPARSE transposed patch pass closes the "
+                        "coverage holes pass 1 leaves (flips vs lossless 1.0%% "
+                        "-> 0.34%% at ~2.6x frame time at 1080p/d10, vs "
+                        "--quality's 0.19%% at ~3.7x). Exclusive with "
+                        "--quality.")
     p.add_argument("--no-video", action="store_true",
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
@@ -196,7 +203,7 @@ def main(argv=None):
         f"(mesh density {args.mesh_density}, {mesh.num_triangles:,d} triangles)...")
     t0 = time.time()
     render_clip(mesh, camera.projection, views, out_w, out_h,
-                quality=args.quality,
+                quality=args.quality, patch=args.patch,
                 mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames,
                 impl=args.impl, binning_quantile=args.binning_quantile,
                 edge_cull_threshold=args.edge_cull)

@@ -333,6 +333,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
             pack_xy=cfg.pack_xy if pack_explicit else False,
             dual_col=cfg.dual_col if dual_explicit else False,
             row_edge=cfg.row_edge if rowe_explicit else False,
+            patch=False,  # sparse patch is standard-variant only
             rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 

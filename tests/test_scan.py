@@ -54,6 +54,7 @@ def test_scan_matches_oracle(checker_texture, angle_deg):
     assert (cov_a == cov_b).mean() > 0.98
 
 
+@pytest.mark.scan_slow
 def test_scan_row_edge_quality_closes_holes(checker_texture):
     """The two-pass row-edge pipeline (quality mode) must close nearly all of
     the single pass's coverage holes: cells a pixel enters through a
@@ -86,6 +87,7 @@ def test_scan_row_edge_quality_closes_holes(checker_texture):
     assert flips_q < 0.25 * max(flips_s, 1e-9), (flips_q, flips_s)
 
 
+@pytest.mark.scan_slow
 def test_scan_quality_texture_z_matches_attrs_merge(checker_texture):
     """The texture_z fast form of the quality pipeline (in-kernel-shaded
     passes, u32 depth merge) must agree with the attrs-merged + XLA-shaded
@@ -148,6 +150,7 @@ def test_scan_flat_depth_near_exact(checker_texture):
     assert_images_close(got, want, min_psnr=45.0, max_diff_frac=0.003)
 
 
+@pytest.mark.scan_slow
 def test_scan_medium_grid_rotated(checker_texture):
     verts, uvs, idx, mvp, _ = scene(density=4, size=(48, 64), seed=3)
     spin = np.asarray(transforms.rotation(np.deg2rad(3.0), axis=Axis.X))
@@ -165,6 +168,7 @@ def test_scan_medium_grid_rotated(checker_texture):
     assert_images_close(got, want, min_psnr=35.0, max_diff_frac=0.025)
 
 
+@pytest.mark.scan_slow
 def test_scan_debug_mode(checker_texture):
     verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=4)
     W, H = 64, 48
@@ -179,6 +183,7 @@ def test_scan_debug_mode(checker_texture):
     assert (got[..., 0] == got[..., 1]).all()
 
 
+@pytest.mark.scan_slow
 def test_scan_batched(checker_texture):
     verts, uvs, _, mvp, _ = scene(density=3, size=(24, 32), seed=5)
     n = int(np.sqrt(len(verts)))
@@ -211,6 +216,7 @@ def test_scan_prep_overflow_diagnostic(checker_texture):
     assert int(out[-1]) > 0
 
 
+@pytest.mark.scan_slow
 def test_scan_solve_forensics_vs_host_replica(checker_texture):
     """Replay the compiled solve against a host-side numpy replica (round-3
     VERDICT item: production-config scan forensics in CI). The kernel's
@@ -278,6 +284,7 @@ def test_scan_solve_forensics_vs_host_replica(checker_texture):
             assert np.allclose(got_bw[valid], bw[valid]), f"band {i}: basew"
 
 
+@pytest.mark.scan_slow
 def test_scan_wireframe(checker_texture):
     # In-kernel wireframe: coverage restricted to pixels near triangle edges.
     verts, uvs, idx, mvp, _ = scene(density=3, size=(24, 32), seed=7)
@@ -298,6 +305,7 @@ def test_scan_wireframe(checker_texture):
     assert agree > 0.95
 
 
+@pytest.mark.scan_slow
 def test_scan_big_grid_matches_standard(checker_texture):
     """The big_grid kernel variant (per-chunk window DMA, curve-free march —
     the BASELINE config #4 path, raster_scan.py big_grid) must reproduce the
@@ -323,6 +331,7 @@ def test_scan_big_grid_matches_standard(checker_texture):
     assert_images_close(got, std, min_psnr=40.0, max_diff_frac=0.005)
 
 
+@pytest.mark.scan_slow
 def test_scan_edge_cull(checker_texture):
     """In-kernel edge culling reproduces the oracle's triangle-level model-z
     spread cull (both reconstruct 3 corner depths; the kernel via the inverse
@@ -378,6 +387,7 @@ def test_scan_near_plane_triangles_masked(checker_texture):
     assert_images_close(got, want, min_psnr=25.0, max_diff_frac=0.05)
 
 
+@pytest.mark.scan_slow
 def test_scan_narrow_march_matches_wide(checker_texture):
     """The prep-centered 128-column narrow march window (round 3) must match
     the full-cw wide sweep wherever prep declares a block narrow-eligible —
@@ -433,6 +443,7 @@ def test_scan_narrow_march_matches_wide(checker_texture):
     assert same > 0.999, f"narrow vs wide agreement {same:.4%}"
 
 
+@pytest.mark.scan_slow
 def test_scan_slot_gate_matches_full(checker_texture):
     """The per-(band, chunk) slot-1 capture gate must be bit-exact: prep's
     monotonicity-violation count provably covers every double crossing, so
@@ -496,6 +507,7 @@ def test_scan_slot_gate_matches_full(checker_texture):
     )
 
 
+@pytest.mark.scan_slow
 def test_scan_pack_xy_matches_unpacked(checker_texture):
     """pack_xy stores strip (sx, sy) as one fixed-point plane, delta-coded at
     1/256 px against the record's crossing x and the band scanline anchor;
@@ -547,6 +559,7 @@ def test_scan_pack_xy_matches_unpacked(checker_texture):
         assert cov_same > 0.97, f"{name}: coverage agreement {cov_same:.4%}"
 
 
+@pytest.mark.scan_slow
 def test_scan_dual_col_matches_oracle(checker_texture):
     """dual_col captures the right column's corners at the record's OWN rows
     (self-contained records, no neighbour realign); it must stay a valid
@@ -582,6 +595,7 @@ def test_scan_dual_col_matches_oracle(checker_texture):
     assert same > 0.90, f"dual packed vs unpacked agreement {same:.4%}"
 
 
+@pytest.mark.scan_slow
 def test_scan_patch_closes_flagged_holes():
     """The hole-driven sparse patch pass (``ScanConfig.patch``) must close
     every pass-1 coverage hole its flag logic marks (background strictly

@@ -33,12 +33,18 @@ CROSS_FLOOR_DB = {   # scan-vs-LOSSLESS-grid PSNR floor (regression canary)
     (10, 720): 28.0,   # sub-pixel cells (1.4 grid rows/px row): measured 29-30
     (9, 1080): 30.0,   # coarser grid than the headline: >= its floor
     (8, 480): 40.0,    # multi-pixel cells: scan is near-exact (measured 44+)
+    (12, 2160): 25.0,  # FIRST on-config lossless comparison (round 4, the
+                       # render_frame_grid_exact control): measured 26.0 dB /
+                       # 1.83% flips — ~0.5-px cells put a real coverage-miss
+                       # class on the scan at d12 (not a fill-rule floor; the
+                       # exact control itself scores far higher vs GL).
 }
 CROSS_FLOOR_DEFAULT = 28.0   # unlisted configs: advisory-only conservatism
 CROSS_FLIP_CEIL = {          # scan-vs-lossless-grid flip-fraction ceiling
     (10, 1080): 0.016,       # measured 0.0100 (hyps=1, sway0) / 0.0148
                              # (identity view); see frontal_attrib.py
     (8, 480): 0.0036,        # measured 0.0018 (default config, frontal)
+    (12, 2160): 0.02,        # measured 0.0183 vs the exact control (round 4)
 }
 CROSS_FLIP_CEIL_DEFAULT = 0.02
 GL_GATE_DB = 40.0  # BASELINE.md: masked PSNR vs the real-GL golden
@@ -238,19 +244,7 @@ def main():
 
     quality = {}  # diagnostics shipped in the JSON line beside the fps
     gates = {}    # machine-checkable pass/fail (pinned floors, see top of file)
-    if args.density >= 11 and not args.no_psnr_cross:
-        # At d>=11 the tiled-grid reference is NOT a valid oracle: its
-        # measured_config caps candidate windows at 10240 cells for VMEM,
-        # which at d12 spans only ~96 of the ~137 cell columns a 128-px tile
-        # needs — the GRID render drops ~30% of candidates near tile edges
-        # (forensic: 87% of scan-vs-grid flips at preset 4 are scan-foreground
-        # /grid-background, concentrated at 128-col tile boundaries). The
-        # ground-truth gate at this density is the GL golden below.
-        log("NOTE: skipping the grid cross-check at density >= 11 — the grid "
-            "path's VMEM-capped candidate window is structurally undersized "
-            "there (it drops candidates near tile edges); the quality gate "
-            "is the GL-golden masked PSNR below.")
-    elif impl in ("pallas", "scan") and not args.no_psnr_cross:
+    if impl in ("pallas", "scan") and not args.no_psnr_cross:
         # Default quality gate: the production kernel against the independent
         # XLA tiled implementation on the first frame — a perf "win" that broke
         # rendering shows up here in every bench artifact's diagnostics.
@@ -263,16 +257,27 @@ def main():
                                   args.height)[0]
         else:
             a = np.asarray(frames[0])
-        # Cross-check against the truly LOSSLESS grid (quantile=1.0,
-        # row_anchors=2) — measured_config's defaults (0.995/1) silently
-        # drop ~0.2% of pixels themselves (experiments/flip_forensic.py),
-        # which polluted earlier cross-check numbers.
-        config_ll = measured_config(mvps, np.asarray(vgrid), args.width,
-                                    args.height, quantile=1.0, row_anchors=2,
-                                    edge_cull_threshold=args.edge_cull)
-        b = np.asarray(render_frames_grid(
-            mvps[:1], vgrid, uvgrid, texture, args.width, args.height,
-            config_ll, frame_batch=1))[0]
+        # Cross-check against the PROVABLY lossless control (round 4:
+        # render_frame_grid_exact — strip-viewport rendering bounds the
+        # window materialisation so any density fits, and row anchors are
+        # raised until the overflow diagnostic proves zero candidate drops;
+        # the old measured_config(quantile=1.0, row_anchors=2) control
+        # silently dropped candidates on 45/2025 tiles at 1080p/d10 because
+        # the XLA path ignored the anchors it was sized for).
+        from depthrenderer_tpu.ops.raster_grid import render_frame_grid_exact
+
+        # Strip count bounds the per-call window materialisation (~17 GB
+        # whole-frame at 4K/d12, ROADMAP) to ~1-2 GB; one shared config keeps
+        # it at one compile.
+        strips = {10: 2, 11: 8}.get(args.density,
+                                    2 if args.density < 10 else 16)
+        strips *= max(1, (args.width * args.height) // (3840 * 2160 + 1) + 1) \
+            if args.width * args.height > 3840 * 2160 else 1
+        log(f"lossless control: render_frame_grid_exact (strips={strips})")
+        b = render_frame_grid_exact(
+            np.asarray(mvps[0]), np.asarray(vgrid), np.asarray(uvgrid),
+            texture, args.width, args.height, strips=strips,
+            edge_cull_threshold=args.edge_cull)
         cross = psnr(a, b)
         flips = float(
             (np.abs(a.astype(int) - b.astype(int)).max(-1) > 8).mean())

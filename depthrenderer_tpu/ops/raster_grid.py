@@ -137,11 +137,27 @@ def _tile_windows(xs, ys, config: RasterConfig, width, height, num_tile_rows,
 
     wr_cap = cells_r - config.window_rows
     wc_cap = cells_c - config.window_cols
-    wr = jnp.clip((r0 + r1 - config.window_rows) // 2, 0, max(wr_cap, 0))
+    A = max(config.row_anchors, 1)
+    if A == 1:
+        wr = jnp.clip((r0 + r1 - config.window_rows) // 2, 0, max(wr_cap, 0))
+        wr = wr.reshape(-1, 1)
+    else:
+        # A row-anchored windows tile the span [r0, r1) from the top (round 4
+        # — the XLA path used to IGNORE row_anchors and rendered ONE centred
+        # window, silently dropping candidates on tiles whose span exceeded
+        # window_rows: 45/2025 tiles at the "lossless" 1080p/d10 control, 2
+        # even at d8/VGA). Anchors past the span clamp onto it (duplicate
+        # coverage — identical planes, so the z-merge is unaffected).
+        ks = jnp.arange(A, dtype=jnp.int32) * config.window_rows
+        top = jnp.minimum(r0.reshape(-1)[:, None] + ks[None, :],
+                          jnp.maximum(r1.reshape(-1)[:, None]
+                                      - config.window_rows, 0))
+        wr = jnp.clip(top, 0, max(wr_cap, 0))  # (ntiles, A)
     wc = jnp.clip((c0 + c1 - config.window_cols) // 2, 0, max(wc_cap, 0))
-    overflow = ((r1 - r0) > config.window_rows) | ((c1 - c0) > config.window_cols)
+    overflow = (((r1 - r0) > A * config.window_rows)
+                | ((c1 - c0) > config.window_cols))
 
-    return wr.reshape(-1), wc.reshape(-1), overflow.reshape(-1)
+    return wr, wc.reshape(-1), overflow.reshape(-1)
 
 
 def measured_config(mvps, vertex_grid, width, height, sample: int = 3,
@@ -303,7 +319,37 @@ def _tile_planes(vg, wr, wc, config: RasterConfig):
 
 def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
                  config: RasterConfig, mode: str):
-    """Render one (tile_h, tile_w) screen tile. All inputs traced; vmap-friendly."""
+    """Render one (tile_h, tile_w) screen tile. All inputs traced; vmap-friendly.
+
+    ``wr`` is the (row_anchors,) vector of row-anchored candidate-window
+    starts; the anchors' (z, attrs) results merge by depth (strict ``<`` —
+    the earlier anchor wins exact ties, which across disjoint-coverage
+    anchors only arises for the same triangle duplicated by clamping)."""
+    th, tw = config.tile_h, config.tile_w
+    P = th * tw
+
+    best_z, best_attrs = _tile_zattrs(vg, wr[0], wc, px0, py0, width, height,
+                                      config)
+    for a in range(1, max(config.row_anchors, 1)):
+        z_a, attrs_a = _tile_zattrs(vg, wr[a], wc, px0, py0, width, height,
+                                    config)
+        take = z_a < best_z
+        best_z = jnp.where(take, z_a, best_z)
+        best_attrs = jnp.where(take[:, None], attrs_a, best_attrs)
+    covered = best_z < common.FAR_SENTINEL
+
+    den = jnp.where(jnp.abs(best_attrs[:, 2]) > 1e-30, best_attrs[:, 2], 1.0)
+    u = best_attrs[:, 0] / den
+    v = best_attrs[:, 1] / den
+    z_model = best_attrs[:, 3] / den
+
+    rgba = common.shade(covered, u, v, z_model, texture_f32, mode,
+                        min_lam=best_attrs[:, 4])
+    return rgba.reshape(th, tw, 4)
+
+
+def _tile_zattrs(vg, wr, wc, px0, py0, width, height, config: RasterConfig):
+    """One candidate window's (best_z, best_attrs) for a tile's pixels."""
     th, tw = config.tile_h, config.tile_w
     P = th * tw
     TC = min(config.chunk_tris, config.window_rows * config.window_cols * 2)
@@ -355,16 +401,7 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
         jnp.zeros((P, 5), jnp.float32) + varying_zero,
     )
     (best_z, best_attrs), _ = jax.lax.scan(step, init, (cov_planes, attr_planes))
-    covered = best_z < common.FAR_SENTINEL
-
-    den = jnp.where(jnp.abs(best_attrs[:, 2]) > 1e-30, best_attrs[:, 2], 1.0)
-    u = best_attrs[:, 0] / den
-    v = best_attrs[:, 1] / den
-    z_model = best_attrs[:, 3] / den
-
-    rgba = common.shade(covered, u, v, z_model, texture_f32, mode,
-                        min_lam=best_attrs[:, 4])
-    return rgba.reshape(th, tw, 4)
+    return best_z, best_attrs
 
 
 def binning_overflow_tiles(mvps, vertex_grid, uv_grid, width, height,
@@ -494,3 +531,76 @@ def render_frames_grid(mvps, vertex_grid, uv_grid, texture_f32, width, height,
                                       width, height, config, mode)
 
     return jax.lax.map(one, mvps, batch_size=min(frame_batch, mvps.shape[0]))
+
+
+def render_frame_grid_exact(mvp, vertex_grid, uv_grid, texture_f32, width,
+                            height, strips: int = 1, max_anchors: int = 64,
+                            mode: str = "texture",
+                            edge_cull_threshold=None):
+    """PROVABLY lossless single-frame render at any mesh density (round 4).
+
+    The evaluation-grade control the production paths are measured against —
+    the role GL's one-draw-call pipeline plays for the reference
+    (``/root/reference/DepthRenderer/render.py:448`` renders any density
+    exactly). Two mechanisms make exactness affordable:
+
+    * **Strips**: the frame renders in ``strips`` horizontal slices, each
+      through a strip-viewport projection (an exact host-f64 NDC-y remap
+      ``clip_y' = a*clip_y + b*clip_w`` composed into the MVP), bounding the
+      per-call tile-window materialisation that OOMs whole-frame lossless
+      configs beyond 1080p/d10 (19.15/17.4 GB at 4K/d12, ROADMAP.md).
+    * **Row anchors**: per strip, ``row_anchors`` is RAISED until the
+      overflow diagnostic proves zero tiles exceed their anchored windows
+      (``binning_overflow_tiles == 0``), so no candidate is ever dropped —
+      the failure mode the round-3 "lossless" control turned out to have.
+
+    Evaluation-path speed (~strips x the binning prep cost); not for
+    production rendering.
+
+    :return: (height, width, 4) uint8 frame, top-down (numpy).
+    """
+    import numpy as np
+
+    strips = max(strips, 1)
+    while height % strips:  # equal strip heights -> ONE compiled shape
+        strips += 1
+    hs = height // strips
+    # One-time device residency: numpy inputs would re-upload the multi-
+    # hundred-MB grid/texture per strip call (a remote-TPU tunnel moves
+    # ~45 MB/s — measured, CLAUDE.md).
+    vertex_grid = jax.device_put(jnp.asarray(vertex_grid, jnp.float32))
+    uv_grid = jax.device_put(jnp.asarray(uv_grid, jnp.float32))
+    texture_f32 = jax.device_put(jnp.asarray(texture_f32, jnp.float32))
+    mvp64 = np.asarray(mvp, np.float64)
+    mvps_k = []
+    for k in range(strips):
+        r1 = (k + 1) * hs
+        S = np.eye(4, dtype=np.float64)
+        S[1, 1] = height / hs                    # ndc_y' = a*ndc_y + b
+        S[1, 3] = (2.0 * r1 - height) / hs - 1.0
+        mvps_k.append((S @ mvp64).astype(np.float32))
+    mvps_k = np.stack(mvps_k)
+
+    # ONE config sized over every strip (distinct per-strip configs would
+    # each pay a fresh compile), anchors raised until NO strip's tile
+    # overflows its anchored windows.
+    anchors = 1
+    while True:
+        cfg = measured_config(
+            mvps_k, vertex_grid, width, hs, sample=strips, quantile=1.0,
+            row_anchors=anchors, edge_cull_threshold=edge_cull_threshold)
+        ovf = int(np.asarray(binning_overflow_tiles(
+            mvps_k, vertex_grid, uv_grid, width, hs, cfg)).max())
+        if ovf == 0:
+            break
+        if anchors >= max_anchors:
+            raise RuntimeError(
+                f"render_frame_grid_exact: {ovf} tile(s) still overflow at "
+                f"{anchors} row anchors (column spans exceed the VMEM-capped "
+                f"window?) — raise max_anchors or strips")
+        anchors = min(anchors * 2, max_anchors)
+
+    parts = [np.asarray(render_frame_grid(
+        mvps_k[k], vertex_grid, uv_grid, texture_f32, width, hs, cfg, mode))
+        for k in range(strips)]
+    return np.concatenate(parts, axis=0)

@@ -453,6 +453,9 @@ def render_frame_pallas(mvp, vertex_grid, uv_grid, texture_f32, width, height,
     1080p). Dispatches are asynchronous, so composing at the Python level costs
     nothing in steady state.
     """
+    assert config.row_anchors <= 2, \
+        "the Pallas tiled path implements 1 or 2 row anchors (use the XLA " \
+        "grid path for higher anchor counts)"
     cov, attr, px0, py0, jlo, jhi = _prep_stage(
         mvp, vertex_grid, uv_grid, width, height, config
     )
@@ -486,6 +489,9 @@ def render_frames_pallas(mvps, vertex_grid, uv_grid, texture_f32, width, height,
     the coefficient buffers stay within an HBM budget, and ``mvps`` is padded
     to a group multiple (one compiled shape, no remainder recompiles).
     """
+    assert config.row_anchors <= 2, \
+        "the Pallas tiled path implements 1 or 2 row anchors (use the XLA " \
+        "grid path for higher anchor counts)"
     mvps = jnp.asarray(mvps, jnp.float32)
     T = mvps.shape[0]
     per_frame = max(_coeff_bytes_per_frame(width, height, config), 1)

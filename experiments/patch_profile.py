@@ -42,6 +42,9 @@ sway = animation.default_sway(5.0)
 times = animation.frame_times(64, 60.0)
 vs = np.asarray(sway.batch(times))
 mvps = np.einsum("ij,jk,tkl->til", proj, cam, vs).astype(np.float32)[:T]
+if os.environ.get("PATCH_PROFILE_FRONTAL"):
+    mvps = np.repeat((proj @ cam).astype(np.float32)[None], T, axis=0)
+    print("== FRONTAL view group ==")
 
 cfg1 = raster_scan.suggest_scan_config(n, W, H)
 cfg1 = __import__("dataclasses").replace(cfg1, patch=False)

@@ -153,6 +153,44 @@ class ScanConfig:
     # patches). The kernel never sees this flag — ``render_frames_scan``
     # dispatches to the patched pipeline. Standard variant, texture mode.
     patch: bool = False
+    # MXU exclusive-hit march (round 4): at hyps=1, when no (scanline, pixel)
+    # has two REAL-keyed bracket intervals (every block away from fold sheets
+    # and overlapping silhouette stretches), the dense march's per-scanline
+    # where/min-reduce chains collapse to sums — ONE (16, 8*Lw) @ (8*Lw, 128)
+    # bf16 matmul on the MXU (block-diagonal iota/ones lhs) returns every
+    # scanline's hit column and hit count at once. All products are bf16-exact
+    # (hit in {0,1}, column ids <= 256, f32 accumulation), so eligible blocks
+    # reproduce the dense answer exactly; blocks whose count proves a
+    # multi-hit lane (depth must arbitrate) fall back to the dense sweep via
+    # one block-level branch. Standard variant, hyps=1, cw <= 256.
+    #
+    # MEASURED NEUTRAL-TO-SLOWER on v5e (round 4, default OFF): 83.1-84.6 fps
+    # vs 86.7-87.3 dense at 1080p/d10, byte-identical output. Confirms the
+    # round-3 finding from the opposite direction: the march is bound by the
+    # (Lw, 128) interval-test compute, which the matmul cannot absorb — and
+    # the (8*Lw, 128) bf16 stack costs ~64 VREG stores + MXU reloads per
+    # slot-block (~0.5 ms/frame) while the removed reduce chain was only
+    # ~0.4 us. Kept behind this flag (with the bit-exactness test) because
+    # the trade may flip on hardware with a different MXU:VPU cost ratio.
+    mxu_march: bool = False
+    # In-kernel column-exhaustive hole fill (round 4, "colfix"): after the
+    # per-slot march + exact passes, blocks that still hold UNCOVERED pixels
+    # with a real marched bracket re-test, per slot, EVERY scanned window row
+    # at a (2*colfix+1)-cell column fan around that slot's marched top-1
+    # column — straight from the band window resident in VMEM (corners =
+    # raw (sx, sy, z) rows; u/v/1/w are analytic), so no records, no strip
+    # limit, no realign. Attacks the two dominant hole classes at their
+    # shared root (ROADMAP forensics: strip-window 55% + realign-cap 34% of
+    # default holes BOTH have a correct marched bracket — only the captured
+    # sr-row strip misses the covering cell's row; the host replay measures
+    # the covering row inside the chunk scan bounds for 100% of sampled
+    # holes, and the covering column within +-K of a slot's top-1 for
+    # 56/76/86% at K=0/1/2). Exact-test-gated: can only ADD true covering
+    # cells, never false coverage. Value = the fan half-width K; None = off.
+    # Standard variant, cw <= 256 (the window gather reuses the fetch
+    # table's 128-lane subtable chain), not with mxu_march (needs the dense
+    # sweep's min key to flag real-bracket pixels).
+    colfix: int | None = None
     # In-kernel shading texture window (per 128-pixel block): rows / cols of
     # the packed-RGBA texture DMA'd to VMEM. Sized from the measured per-block
     # texture-coordinate spread on the sway path at d10/1080p (ty <= 118 px,
@@ -185,6 +223,17 @@ class ScanConfig:
         assert not (self.patch and self.row_edge), \
             "patch and row_edge are exclusive (row_edge already runs the" \
             " full transposed pass)"
+        assert not (self.mxu_march and (self.big_grid or self.hyps != 1
+                                        or self.cw > 256)), \
+            "mxu_march is standard-variant, hyps=1, cw <= 256 only (bf16 " \
+            "column ids are exact only up to 256; hyps=2 needs the dense " \
+            "sweep's counts and second-minimum)"
+        assert self.colfix is None or (
+            not self.big_grid and not self.mxu_march
+            and 0 <= self.colfix <= 3 and self.cw <= 256), \
+            "colfix is standard-variant, cw <= 256, fan K in [0, 3], and " \
+            "not combinable with mxu_march (the fixup flags real-bracket " \
+            "pixels off the dense sweep's min key)"
 
     @property
     def nrec(self) -> int:
@@ -697,11 +746,32 @@ _prep_scan = jax.jit(
 # ---------------------------------------------------------------------------
 
 
+# Bands per grid step for the standard variant (module-level so equivalence
+# tests can pin it). Round-4 A/B on chip: 2 bands/step is byte-identical
+# (experiments/band_merge_check.py) but measured 84.5-84.9 fps vs 86.7-87.3
+# at 1 band/step (1080p/d10) — the ~8-12 us/step pipeline overhead the merge
+# removes is outweighed by the doubled live window scratch shrinking Mosaic's
+# DMA/compute overlap. Kept at 1; see ROADMAP "Measured dead ends".
+_BANDS_PER_STEP = 1
+
+
+def _scan_kernel_steps(*args, bands_per_step: int = 1, **kwargs):
+    """Grid-step dispatcher: render ``bands_per_step`` consecutive 8-row bands
+    per grid step (round 4). Per-step pipeline overhead measured ~8-12 us
+    (135 band-steps ~= 1.1 ms/frame at 1080p, the 'step+DMA' profile entry);
+    two bands per step halve the step count. ``jband`` specialises each
+    band's body STATICALLY (python loop), so output-row offsets and window
+    double-buffer parities are compile-time constants."""
+    for j in range(bands_per_step):
+        _scan_kernel(*args, jband=j, bands_per_step=bands_per_step, **kwargs)
+
+
 def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                  config: ScanConfig, width: int, height: int,
                  n_r: int, n_c: int, cl: int, wl: int, ht: int, wt: int,
                  mode: str, debug_records: bool = False, phases: str = "all",
-                 sparse_bands: bool = False):
+                 sparse_bands: bool = False, jband: int = 0,
+                 bands_per_step: int = 1):
     # Sparse-band mode (round 4, the hole-driven patch pass): a 6th scalar-
     # prefetch plane flags which (frame, band) steps render at all; unflagged
     # steps skip the window DMA, solve, march and shade entirely and write
@@ -745,7 +815,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
     sxc/zc curves for the march.
     """
     t = pl.program_id(0)  # frame within the group
-    i = pl.program_id(1)  # pixel-row band
+    # pixel-row band: bands_per_step consecutive bands share one grid step
+    # (jband is a PYTHON index — the band body below specialises statically)
+    i = pl.program_id(1) * bands_per_step + jband
     SR, OFF, NBR, CW = config.sr, config.off, config.nbr, config.cw
     w0 = w0_ref[t, i] * 8  # in 8-row units: provably tile-aligned offset
     act0 = (bflag_ref[t, i] != 0) if sparse_bands else None
@@ -760,11 +832,9 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
     # indexing, no dynamic semaphore indexing (parity is branched with
     # pl.when on static buffer ids).
     if not config.big_grid:
-        nb = pl.num_programs(1)
+        nbb = pl.num_programs(1) * bands_per_step  # bands per frame (padded)
         nt = pl.num_programs(0)
-        g = t * nb + i  # global step; nb is odd at 1080p so parity alternates
-        par0 = jax.lax.rem(g, 2) == 0
-        win_row0 = jnp.where(par0, 0, config.rmax // 8)  # in 8-row units
+        g = t * nbb + i  # global band counter
 
         def win_copy(tt, ii, buf):
             return pltpu.make_async_copy(
@@ -775,42 +845,65 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
 
         # Sparse-band protocol: copies are started iff the TARGET band is
         # flagged and waited iff the OWN band is — every flagged band's copy
-        # is started exactly once (by its predecessor step, or by itself at
+        # is started exactly once (by its predecessor band, or by itself at
         # g == 0) and waited exactly once, and unflagged bands touch no
         # semaphore at all.
-        first_ok = (g == 0) if not sparse_bands else ((g == 0) & act0)
-
-        @pl.when(first_ok)  # the very first step owns buffer 0
-        def _():
-            win_copy(t, i, 0).start()
-
         gn = g + 1
-        has_next = gn < nt * nb
-        tn = gn // nb
-        inx = gn - tn * nb
+        has_next = gn < nt * nbb
+        tn = gn // nbb
+        inx = gn - tn * nbb
         tn = jnp.minimum(tn, nt - 1)  # clamp: the when-guard skips the copy
         if sparse_bands:
-            # inx can be nb at the final step; clamp the FLAG READ only (the
+            # inx can be nbb at the final band; clamp the FLAG READ only (the
             # has_next guard already skips the copy itself).
-            has_next &= bflag_ref[tn, jnp.minimum(inx, nb - 1)] != 0
-
-        @pl.when(has_next & par0)
-        def _():
-            win_copy(tn, inx, 1).start()
-
-        @pl.when(has_next & jnp.logical_not(par0))
-        def _():
-            win_copy(tn, inx, 0).start()
-
+            has_next &= bflag_ref[tn, jnp.minimum(inx, nbb - 1)] != 0
         wait_ok = act0 if sparse_bands else True
 
-        @pl.when(par0 & wait_ok)
-        def _():
-            win_copy(t, i, 0).wait()
+        if bands_per_step > 1:
+            # nbb is padded to a bands_per_step multiple, so band parity is
+            # the STATIC jband parity — buffer ids need no runtime branch.
+            buf_cur = jband % 2
+            win_row0 = jnp.int32(buf_cur * (config.rmax // 8))
+            if jband == 0:
+                first_ok = (g == 0) if not sparse_bands else ((g == 0) & act0)
 
-        @pl.when(jnp.logical_not(par0) & wait_ok)
-        def _():
-            win_copy(t, i, 1).wait()
+                @pl.when(first_ok)  # the very first band owns buffer 0
+                def _():
+                    win_copy(t, i, 0).start()
+
+            @pl.when(has_next)
+            def _():
+                win_copy(tn, inx, 1 - buf_cur).start()
+
+            @pl.when(wait_ok)
+            def _():
+                win_copy(t, i, buf_cur).wait()
+        else:
+            # One band per step (big-grid-adjacent configs, debug_records):
+            # the band count per frame can be odd, so parity is dynamic.
+            par0 = jax.lax.rem(g, 2) == 0
+            win_row0 = jnp.where(par0, 0, config.rmax // 8)  # 8-row units
+            first_ok = (g == 0) if not sparse_bands else ((g == 0) & act0)
+
+            @pl.when(first_ok)  # the very first step owns buffer 0
+            def _():
+                win_copy(t, i, 0).start()
+
+            @pl.when(has_next & par0)
+            def _():
+                win_copy(tn, inx, 1).start()
+
+            @pl.when(has_next & jnp.logical_not(par0))
+            def _():
+                win_copy(tn, inx, 0).start()
+
+            @pl.when(par0 & wait_ok)
+            def _():
+                win_copy(t, i, 0).wait()
+
+            @pl.when(jnp.logical_not(par0) & wait_ok)
+            def _():
+                win_copy(t, i, 1).wait()
     else:
         win_row0 = jnp.int32(0)
 
@@ -1084,6 +1177,31 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
     iota_nw = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0).astype(
         jnp.float32)  # narrow-march window iota
 
+    # MXU-march lhs constants (round 4): row r < 8 holds scanline r's
+    # column ids (c+1, so 0 can mean "no hit"), row 8 + r scanline r's ones —
+    # block-diagonal over the 8 per-scanline segments of the stacked hit
+    # matrix. Values <= max(Lw, 1) <= 256 are bf16-exact.
+    use_mxu = (config.mxu_march and config.hyps == 1 and not config.big_grid
+               and MW <= 256 and MW // 128 < 4)
+    # Column-exhaustive hole fill (round 4, ScanConfig.colfix): threaded
+    # through the march as (h1, m1) per slot; runs after the slot loop.
+    colfix_run = (config.colfix is not None and not config.big_grid
+                  and MW // 128 < 4 and phases == "all")
+    if use_mxu:
+        def _mxu_lhs(L):
+            ii = jax.lax.broadcasted_iota(jnp.int32, (16, 8 * L), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (16, 8 * L), 0)
+            sel = (ii // L) == jax.lax.rem(rr, 8)
+            val = jnp.where(rr < 8,
+                            (jax.lax.rem(ii, L) + 1).astype(jnp.float32),
+                            jnp.float32(1.0))
+            return jnp.where(sel, val, jnp.float32(0.0)).astype(jnp.bfloat16)
+
+        mxu_lhs_nw = _mxu_lhs(128)
+        mxu_lhs_mw = mxu_lhs_nw if MW == 128 else _mxu_lhs(MW)
+    else:
+        mxu_lhs_nw = mxu_lhs_mw = None
+
     def gather_rec(s, plane, canch_f, idx, base):
         """rec[s, plane, y, canch_f*128 + idx] as (8, 128) via TWO 128-lane
         subtables at the dynamically chosen 128-aligned ``base`` (round 3:
@@ -1176,6 +1294,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 else None,
             )
 
+        fix_slots = []  # (h1, m1) per slot when colfix_run (see below)
         for s in range(NBR):
             # -- march: dense (MW x 128) outer sign test, top-`hyps` by zc --
             if config.big_grid:
@@ -1305,6 +1424,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                         mx_w = jnp.where(lastc, jnp.float32(-_FAR), mx_w)
                         hyp1 = []
                         counts = []
+                        mins = []
                         for y in range(8):
                             zz = zz_w[:, y : y + 1]
                             qxy = qx[y : y + 1, :]       # (1, 128)
@@ -1318,6 +1438,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                                 keepdims=True,
                             )
                             hyp1.append(o1)
+                            if colfix_run:  # colfix flags real-bracket px
+                                mins.append(m1)
                             if config.hyps == 2:
                                 counts.append(jnp.sum(
                                     jnp.where(hit, 1.0, 0.0), axis=0,
@@ -1326,29 +1448,105 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                         cnt = (jnp.concatenate(counts, axis=0)
                                if config.hyps == 2
                                else jnp.zeros((8, 128), jnp.float32))
-                        return h1, cnt
+                        m1c = (jnp.concatenate(mins, axis=0)
+                               if colfix_run else None)
+                        return h1, cnt, m1c
+
+                    def _sweep_mxu(sx_w, zz_w, iota_w, Lw, lhs):
+                        """Exclusive-hit MXU march (round 4, hyps=1 only).
+
+                        With at most ONE real-keyed bracket interval per
+                        (scanline, pixel) — every block away from fold
+                        sheets — the dense sweep's per-y where/min-reduce
+                        chains are equivalent to sums: o1 = sum_c hit*(c+1)
+                        - 1 and cnt = sum_c hit, all 8 scanlines of both in
+                        ONE (16, 8*Lw) @ (8*Lw, 128) bf16 matmul against the
+                        block-diagonal ``lhs`` (hit in {0, 1} and c+1 <= 256
+                        are bf16-exact; the MXU accumulates in f32, so
+                        eligible blocks reproduce the dense answer exactly).
+                        FAR-keyed giant intervals (the (FAR, real) pair
+                        class, whose key can never beat a real record's in
+                        the dense min) are masked out of ``hit`` to keep the
+                        count exclusive; lanes with NO real-keyed hit return
+                        column 0 where the dense sweep would return the
+                        first FAR-keyed hit column — both fetch a record
+                        whose exact tests reject the pixel, so coverage is
+                        unchanged. Blocks whose count proves a multi-hit
+                        lane (overlapping sheets: depth must arbitrate) fall
+                        back to the dense sweep behind one block-level
+                        branch."""
+                        sx_r = pltpu.roll(sx_w, Lw - 1, 0)
+                        mn_w = jnp.minimum(sx_w, sx_r)
+                        mx_w = jnp.maximum(sx_w, sx_r)
+                        lastc = jax.lax.broadcasted_iota(
+                            jnp.int32, mx_w.shape, 0) == Lw - 1
+                        mx_w = jnp.where(
+                            lastc | (zz_w >= jnp.float32(_FAR * 0.5)),
+                            jnp.float32(-_FAR), mx_w)
+                        pieces = []
+                        for y in range(8):
+                            qxy = qx[y : y + 1, :]
+                            hit = ((qxy >= mn_w[:, y : y + 1])
+                                   & (qxy <= mx_w[:, y : y + 1]))
+                            # f32 select, THEN convert: Mosaic cannot relayout
+                            # the (8,128)-tiled i1 mask of an f32 compare onto
+                            # a (16,128)-tiled bf16 select directly.
+                            pieces.append(
+                                jnp.where(hit, jnp.float32(1.0),
+                                          jnp.float32(0.0))
+                                .astype(jnp.bfloat16))
+                        hitf = jnp.concatenate(pieces, axis=0)  # (8Lw, 128)
+                        out = jax.lax.dot_general(
+                            lhs, hitf, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (16, 128)
+                        o1s = out[0:8]
+                        cnt = out[8:16]
+                        h1_x = jnp.where(cnt >= 0.5, o1s - 1.0,
+                                         jnp.float32(0.0))
+                        multi = jnp.max(cnt) > 1.5
+                        h1 = jax.lax.cond(
+                            multi,
+                            lambda _: _sweep(sx_w, zz_w, iota_w, Lw)[0],
+                            lambda _: h1_x, 0)
+                        return h1, jnp.zeros((8, 128), jnp.float32), None
 
                     if config.big_grid or config.cw <= 128:
-                        h1, cnt_acc = _sweep(sxc_t, zc_t, iota_cw, MW)
-                        return _march_tail(
+                        if use_mxu:
+                            h1, cnt_acc, m1k = _sweep_mxu(sxc_t, zc_t,
+                                                          iota_cw, MW,
+                                                          mxu_lhs_mw)
+                        else:
+                            h1, cnt_acc, m1k = _sweep(sxc_t, zc_t, iota_cw,
+                                                      MW)
+                        ret = _march_tail(
                             best_in, s, h1,
                             cnt_acc if config.hyps == 2 else None)
+                        return (ret, h1, m1k) if colfix_run else ret
 
                     def narrow_fn(_):
                         off8 = (canch_ref[t, blk] + mid) * 8
                         sxn = curve_ref[s, 0, pl.ds(off8, 128), :]
                         zcn = curve_ref[s, 1, pl.ds(off8, 128), :]
-                        h1n, cntn = _sweep(sxn, zcn, iota_nw, 128)
+                        if use_mxu:
+                            h1n, cntn, m1n = _sweep_mxu(sxn, zcn, iota_nw,
+                                                        128, mxu_lhs_nw)
+                        else:
+                            h1n, cntn, m1n = _sweep(sxn, zcn, iota_nw, 128)
                         sent = h1n >= jnp.float32(127.5)  # no-hit sentinel
                         h1n = h1n + (mid * 8).astype(jnp.float32)
-                        return jnp.where(sent, jnp.float32(MW), h1n), cntn
+                        return jnp.where(sent, jnp.float32(MW), h1n), cntn, m1n
 
                     def wide_fn(_):
+                        if use_mxu:
+                            return _sweep_mxu(sxc_t, zc_t, iota_cw, MW,
+                                              mxu_lhs_mw)
                         return _sweep(sxc_t, zc_t, iota_cw, MW)
 
-                    h1, cnt_acc = jax.lax.cond(mid >= 0, narrow_fn, wide_fn, 0)
-                    return _march_tail(best_in, s, h1,
-                                       cnt_acc if config.hyps == 2 else None)
+                    h1, cnt_acc, m1k = jax.lax.cond(mid >= 0, narrow_fn,
+                                                    wide_fn, 0)
+                    ret = _march_tail(best_in, s, h1,
+                                      cnt_acc if config.hyps == 2 else None)
+                    return (ret, h1, m1k) if colfix_run else ret
                 # Chunked gated march (round 3): the dense (MW x 128) sign
                 # test runs per 128-column chunk behind a scalar
                 # range-intersection gate — a chunk whose real crossing-x
@@ -1422,8 +1620,176 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     best_in, s, o1_acc,
                     cnt_acc if config.hyps == 2 else None)
 
-            best = jax.lax.cond(any_rec & (mid != jnp.int32(-2)),
-                                slot_body, lambda b: b, best)
+            if colfix_run:
+                best, h1_s, m1_s = jax.lax.cond(
+                    any_rec & (mid != jnp.int32(-2)), slot_body,
+                    lambda b: (b, jnp.full((8, 128), jnp.float32(MW)),
+                               jnp.full((8, 128), _FAR, jnp.float32)),
+                    best)
+                fix_slots.append((h1_s, m1_s))
+            else:
+                best = jax.lax.cond(any_rec & (mid != jnp.int32(-2)),
+                                    slot_body, lambda b: b, best)
+
+        if colfix_run:
+            # ------- column-exhaustive hole fill (ScanConfig.colfix) -------
+            # Blocks that still hold UNCOVERED pixels with a real marched
+            # bracket re-test, per slot, EVERY scanned window row at a
+            # (2K+1)-cell column fan around that slot's top-1 column — raw
+            # (sx, sy, z) corner rows straight from the resident band
+            # window, so no record-strip row limit and no realign. This is
+            # where the strip-window + realign-cap hole classes die (see
+            # ScanConfig.colfix and experiments/colfix_replay.py). Exact-
+            # test-gated: only ADDS true covering cells. Corner 1/w and
+            # u/v are analytic (same forms as _exact_cells).
+            K = config.colfix
+            NF = 2 * K + 2           # fan corner columns
+            nsub = CWF // 128
+            sxw_f = 2.0 / width
+            syw_f = 2.0 / height
+            qyf = qy_col * jnp.ones((8, 128), jnp.float32)
+            need_minl_fx = mode in ("attrs", "wireframe")
+
+            # union row bounds over the fetch window's chunks (window-rel.)
+            kb_u = jnp.int32(config.rmax)
+            ke_u = jnp.int32(0)
+            for tt in range(nsub):
+                bnd_t = bounds_ref[t, i * nchunks + canch_f + tt]
+                kbt = bnd_t & 0xFFF
+                ket = (bnd_t >> 12) & 0xFFF
+                ne_t = ket > kbt
+                kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
+                ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
+            rb0 = kb_u // 8
+            rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom corners
+            # reach row ke_u, which may start the next 8-row block
+
+            def load_parts(b):
+                """[v][tt] -> (8, 128) window rows 8b..8b+7, fetch chunk tt."""
+                return [[load_block(v, b, canch_f + tt) for tt in range(nsub)]
+                        for v in range(3)]
+
+            def fan_gather(parts_v, j, idx):
+                """Row j of the subtable-chained window channel at per-pixel
+                fetch-window column ``idx`` (mirrors gather_rec's static
+                chain — measured faster than dynamic lane slices below 4
+                subtables)."""
+                idc = jnp.clip(idx, 0, CWF - 1)
+                row0 = jnp.broadcast_to(parts_v[0][j : j + 1], (8, 128))
+                g = jnp.take_along_axis(row0, jnp.clip(idc, 0, 127), axis=1)
+                for tt in range(1, nsub):
+                    rowt = jnp.broadcast_to(parts_v[tt][j : j + 1], (8, 128))
+                    g = jnp.where(
+                        idc >= tt * 128,
+                        jnp.take_along_axis(
+                            rowt, jnp.clip(idc - tt * 128, 0, 127), axis=1),
+                        g)
+                return g
+
+            def invw_fx(x, y, z):
+                return (m3r[0] * (x * sxw_f - 1.0)
+                        + m3r[1] * (y * syw_f - 1.0) + m3r[2] * z + m3r[3])
+
+            def zm_fx(x, y, z, iw_):
+                num = (m2r[0] * (x * sxw_f - 1.0)
+                       + m2r[1] * (y * syw_f - 1.0) + m2r[2] * z + m2r[3])
+                den = jnp.where(jnp.abs(iw_) > 1e-30, iw_, 1.0)
+                return num / den
+
+            def fix_slot(best_in, h1f, m1v):
+                hitok = m1v < jnp.float32(_FAR * 0.5)
+                j0 = (jnp.clip(h1f, 0.0, jnp.float32(MW - 1))
+                      .astype(jnp.int32) + off_f)
+                idxs = [j0 + (cc - K) for cc in range(NF)]
+                colok = [hitok & (ix >= 0) & (ix <= CWF - 1) for ix in idxs]
+                cgs = [(canch_f * 128 + jnp.clip(ix, 0, CWF - 1))
+                       .astype(jnp.float32) for ix in idxs]
+
+                def grow_all(parts, j):
+                    return tuple(
+                        tuple(fan_gather(parts[v], j, idxs[cc])
+                              for v in range(3)) for cc in range(NF))
+
+                def fix_block(rb, carry):
+                    b_acc, gtop = carry
+                    cur = load_parts(rb)
+                    nxt = load_parts(jnp.minimum(rb + 1, nrow_blocks - 1))
+                    for j in range(8):
+                        k = rb * 8 + j
+                        gbot = (grow_all(cur, j + 1) if j < 7
+                                else grow_all(nxt, 0))
+                        kf = k.astype(jnp.float32)
+                        r_cell = w0f + kf  # global grid row of the top corner
+                        in_rng = (k >= kb_u) & (k < ke_u)
+                        row_ok = (in_rng & (r_cell >= 0.0)
+                                  & (r_cell <= jnp.float32(n_r - 2)))
+                        v_top = 1.0 - r_cell * inv_nrm1
+                        v_bot = 1.0 - (r_cell + 1.0) * inv_nrm1
+                        # Downward column-line edges, computed ONCE per fan
+                        # corner column: cell f's left = lines[f], right =
+                        # -lines[f+1] — exact negation keeps horizontally
+                        # adjacent fan cells watertight (same guarantee
+                        # _exact_cells gives the shared diagonal).
+                        lines = []
+                        iwt, iwb = [], []
+                        for cc in range(NF):
+                            x0, y0, z0 = gtop[cc]
+                            x1, y1, z1 = gbot[cc]
+                            lines.append((x1 - x0) * (qyf - y0)
+                                         - (y1 - y0) * (qx - x0))
+                            iwt.append(invw_fx(x0, y0, z0))
+                            iwb.append(invw_fx(x1, y1, z1))
+                        for f in range(NF - 1):
+                            x00, y00, z00 = gtop[f]
+                            x10, y10, z10 = gbot[f]
+                            x01, y01, z01 = gtop[f + 1]
+                            x11, y11, z11 = gbot[f + 1]
+                            cg = cgs[f]
+                            cell_ok = (row_ok & colok[f] & colok[f + 1]
+                                       & (cg <= jnp.float32(n_c - 2)))
+                            u0 = cg * inv_ncm1
+                            u1 = (cg + 1.0) * inv_ncm1
+                            base_id = (r_cell * jnp.float32(n_c - 1)
+                                       + cg) * 2.0
+                            diag_e = ((x01 - x10) * (qyf - y10)
+                                      - (y01 - y10) * (qx - x10))
+                            top_e = ((x00 - x01) * (qyf - y01)
+                                     - (y00 - y01) * (qx - x01))
+                            bottom_e = ((x11 - x10) * (qyf - y10)
+                                        - (y11 - y10) * (qx - x10))
+                            if config.edge_cull_threshold is not None:
+                                zms = (zm_fx(x00, y00, z00, iwt[f]),
+                                       zm_fx(x10, y10, z10, iwb[f]),
+                                       zm_fx(x01, y01, z01, iwt[f + 1]),
+                                       zm_fx(x11, y11, z11, iwb[f + 1]))
+                            else:
+                                zms = None
+                            b_acc = _cell_fold(
+                                b_acc, cell_ok, diag_e, top_e, bottom_e,
+                                lines[f], -lines[f + 1],
+                                z00, z10, z01, z11,
+                                iwt[f], iwb[f], iwt[f + 1], iwb[f + 1],
+                                u0, u1, v_top, v_bot, base_id,
+                                inv_ncm1, inv_nrm1, need_minl_fx,
+                                cull_thresh=config.edge_cull_threshold,
+                                zms=zms)
+                        gtop = gbot
+                    return b_acc, gtop
+
+                gtop0 = grow_all(load_parts(rb0), 0)
+                best_out, _ = jax.lax.fori_loop(rb0, rb1, fix_block,
+                                                (best_in, gtop0))
+                return best_out
+
+            for h1_s, m1_s in fix_slots:
+                uncov_fx = best[2] >= jnp.float32(1.0e30)  # id sentinel
+                go_fx = jnp.max(jnp.where(
+                    uncov_fx & (m1_s < jnp.float32(_FAR * 0.5)),
+                    1.0, 0.0)) > 0.5
+                best = jax.lax.cond(
+                    go_fx,
+                    functools.partial(fix_slot, h1f=h1_s, m1v=m1_s),
+                    lambda b: b, best)
 
         bzn, bar, bid, uw, vw, iw, bml = best
         # ONE divide per block resolves the deferred (znum, area) carry
@@ -1444,16 +1810,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
 
         xsl = pl.ds(blk * 128, 128)
         if mode == "attrs":
-            out_ref[0, 0, 0, :, xsl] = u
-            out_ref[0, 0, 1, :, xsl] = v
-            out_ref[0, 0, 2, :, xsl] = zm
-            out_ref[0, 0, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
-            out_ref[0, 0, 4, :, xsl] = bz
+            out_ref[0, jband, 0, :, xsl] = u
+            out_ref[0, jband, 1, :, xsl] = v
+            out_ref[0, jband, 2, :, xsl] = zm
+            out_ref[0, jband, 3, :, xsl] = jnp.where(cov, 1.0, 0.0)
+            out_ref[0, jband, 4, :, xsl] = bz
             # bml carries the min-lambda NUMERATOR; bar restores the
             # barycentric (0 stays 0 for uncovered lanes: 0/1).
-            out_ref[0, 0, 5, :, xsl] = bml / bar
+            out_ref[0, jband, 5, :, xsl] = bml / bar
             for ch in range(6, 8):
-                out_ref[0, 0, ch, :, xsl] = jnp.zeros((8, 128), jnp.float32)
+                out_ref[0, jband, ch, :, xsl] = jnp.zeros((8, 128),
+                                                          jnp.float32)
             return 0
 
         # ------------- pass-1 shade attrs capture (two-pass shade) ---------
@@ -1633,9 +2000,11 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
         packed = (
             q8(r_) | (q8(g_) << 8) | (q8(b_) << 16) | (q8(a_) << 24)
         )
-        out_ref[0, :, xsl] = pltpu.bitcast(packed, jnp.uint32)
+        out_ref[0, jband * 8:(jband + 1) * 8, xsl] = pltpu.bitcast(
+            packed, jnp.uint32)
         if mode == "texture_z":
-            outz_ref[0, :, xsl] = zm  # slot 5 = raster depth in this mode
+            # slot 5 = raster depth in this mode
+            outz_ref[0, jband * 8:(jband + 1) * 8, xsl] = zm
         return tyb_n, txb_n
 
     def _shade_pass():
@@ -1650,9 +2019,10 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
             if mode != "attrs":
                 _shade_pass()
         elif mode == "attrs":  # solve-only profiling variants: blank output
-            out_ref[...] = jnp.zeros((1, 1, 8, 8, wl), jnp.float32)
+            out_ref[0, jband] = jnp.zeros((8, 8, wl), jnp.float32)
         else:
-            out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)
+            out_ref[0, jband * 8:(jband + 1) * 8, :] = jnp.zeros(
+                (8, wl), jnp.uint32)
 
     if sparse_bands:
         @pl.when(act0)
@@ -1663,8 +2033,10 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
         def _():
             # Unflagged bands: background + FAR merge keys, so the patch
             # merge keeps pass 1 everywhere the patch pass never looked.
-            out_ref[...] = jnp.zeros((1, 8, wl), jnp.uint32)
-            outz_ref[...] = jnp.full((1, 8, wl), _FAR, jnp.float32)
+            out_ref[0, jband * 8:(jband + 1) * 8, :] = jnp.zeros(
+                (8, wl), jnp.uint32)
+            outz_ref[0, jband * 8:(jband + 1) * 8, :] = jnp.full(
+                (8, wl), _FAR, jnp.float32)
     else:
         _active_body()
 
@@ -1795,6 +2167,71 @@ def _exact_record(best, s, j_i, base, canch, cgf, qx, qy_col, gather_rec,
         width, height, w0f, inv_ncm1, inv_nrm1, n_r, n_c, need_minl)
 
 
+def _cell_fold(best, cell_ok, diag_e, top_e, bottom_e, left_e, right_e,
+               z00, z10, z01, z11, i00, i10, i01, i11, u0, u1, v_top, v_bot,
+               base_id, inv_ncm1, inv_nrm1, need_minl, cull_thresh=None,
+               zms=None):
+    """ONE cell's exact coverage test + division-free winner fold, given its
+    five edge functions and corner (z, 1/w) values — the shared tail of
+    ``_exact_cells`` (strip records) and the colfix window sweep. See
+    ``_exact_cells`` for the derivation of the diagonal select, the deferred
+    area division, and the 1/w-partial attribute fold. ``zms`` carries the
+    four corner model-z values when ``cull_thresh`` (edge culling) is set."""
+    bzn, bar, bid, buw, bvw, biw, bml = best
+    d = diag_e >= 0.0
+    w_a = jnp.where(d, diag_e, bottom_e)
+    w_b = jnp.where(d, top_e, right_e)
+    w_c = jnp.where(d, left_e, -diag_e)
+    area = w_a + w_b + w_c
+    ok = cell_ok & (area > 1e-12)
+    if cull_thresh is not None:
+        zm00, zm10, zm01, zm11 = zms
+        zm_a = jnp.where(d, zm00, zm01)
+        zm_b = zm10
+        zm_c = jnp.where(d, zm01, zm11)
+        spread = jnp.maximum(
+            jnp.maximum(zm_a, zm_b), zm_c
+        ) - jnp.minimum(jnp.minimum(zm_a, zm_b), zm_c)
+        ok = ok & (spread <= jnp.float32(cull_thresh))
+    # Inside-tests: the selected w_a >= 0 is implied by the selection
+    # (d => diag_e >= 0; !d => -diag_e > 0). And/or form: Mosaic cannot
+    # lower a SELECT with i1 branches (i8->i1 trunci).
+    inside = ((d & (top_e >= 0.0) & (left_e >= 0.0))
+              | (~d & (bottom_e >= 0.0) & (right_e >= 0.0)))
+    z_a = jnp.where(d, z00, z01)
+    z_c = jnp.where(d, z01, z11)
+    znum = w_a * z_a + w_b * z10 + w_c * z_c
+    cov = ok & inside & (znum >= -area) & (znum <= area)
+    tid = base_id + jnp.where(d, 0.0, 1.0)
+    # Depth compare without the divide: znum/area < bzn/bar, both
+    # denominators > 0 (see _exact_cells' derivation comments).
+    c_l = znum * bar
+    c_r = bzn * area
+    better = cov & ((c_l < c_r) | ((c_l == c_r) & (tid < bid)))
+    iw_a = jnp.where(d, i00, i01)
+    iw_c = jnp.where(d, i01, i11)
+    p_a = w_a * iw_a
+    p_b = w_b * i10
+    p_c = w_c * iw_c
+    iw = p_a + p_b + p_c
+    uw = (jnp.where(d, u0, u1) * iw
+          + inv_ncm1 * jnp.where(d, p_c, -p_b))
+    vw = (jnp.where(d, v_top, v_bot) * iw
+          + inv_nrm1 * jnp.where(d, -p_b, p_a))
+    bzn = jnp.where(better, znum, bzn)
+    bar = jnp.where(better, area, bar)
+    bid = jnp.where(better, tid, bid)
+    buw = jnp.where(better, uw, buw)
+    bvw = jnp.where(better, vw, bvw)
+    biw = jnp.where(better, iw, biw)
+    if need_minl:  # wireframe/attrs only: the texture path skips it
+        # min-lambda NUMERATOR (the area factor divides out with bar
+        # at the block tail / threshold test).
+        minl = jnp.minimum(w_a, jnp.minimum(w_b, w_c))
+        bml = jnp.where(better, minl, bml)
+    return bzn, bar, bid, buw, bvw, biw, bml
+
+
 def _exact_cells(best, strip1, aligned2, bw1, j1, cgf, qx, qy_col, m2r, m3r,
                  config: ScanConfig, width, height, w0f, inv_ncm1, inv_nrm1,
                  n_r, n_c, need_minl):
@@ -1893,67 +2330,17 @@ def _exact_cells(best, strip1, aligned2, bw1, j1, cgf, qx, qy_col, m2r, m3r,
         # (area, barea > 0), and the attr numerators keep their area factor
         # — it cancels in the downstream u = uw/iw ratio; the block tail
         # divides znum/area once. NaN corners poison the edges, so d falls
-        # to tri1 whose own NaN sign tests fail — cov stays false.
-        d = diag_e >= 0.0
-        w_a = jnp.where(d, diag_e, bottom_e)
-        w_b = jnp.where(d, top_e, right_e)
-        w_c = jnp.where(d, left_e, -diag_e)
-        area = w_a + w_b + w_c
-        ok = cell_ok & (area > 1e-12)
-        if config.edge_cull_threshold is not None:
-            zm_a = jnp.where(d, zm1[k], zm2[k])
-            zm_b = zm1[k + 1]
-            zm_c = jnp.where(d, zm2[k], zm2[k + 1])
-            spread = jnp.maximum(
-                jnp.maximum(zm_a, zm_b), zm_c
-            ) - jnp.minimum(jnp.minimum(zm_a, zm_b), zm_c)
-            ok = ok & (spread <= jnp.float32(config.edge_cull_threshold))
-        # Inside-tests: the selected w_a >= 0 is implied by the selection
-        # (d => diag_e >= 0; !d => -diag_e > 0), so only the two remaining
-        # edges are tested per side. And/or form: Mosaic cannot lower a
-        # SELECT with i1 branches (i8->i1 trunci).
-        inside = ((d & (top_e >= 0.0) & (left_e >= 0.0))
-                  | (~d & (bottom_e >= 0.0) & (right_e >= 0.0)))
-        z_a = jnp.where(d, z00, z01)
-        z_c = jnp.where(d, z01, z11)
-        znum = w_a * z_a + w_b * z10 + w_c * z_c
-        cov = ok & inside & (znum >= -area) & (znum <= area)
-        tid = base_id + jnp.where(d, 0.0, 1.0)
-        # Depth compare without the divide: znum/area < bzn/bar with both
-        # denominators > 0. The init incumbent (bzn=_FAR, bar=1) can
-        # overflow bzn*area to inf — any finite candidate still wins; a
-        # stored winner keeps |bzn| <= bar (range test), so real products
-        # stay finite.
-        c_l = znum * bar
-        c_r = bzn * area
-        better = cov & ((c_l < c_r) | ((c_l == c_r) & (tid < bid)))
-        # Attribute interpolation through 1/w partials (round 3): the cell
-        # corners share u per column and v per row, so uw/vw fold to iw
-        # plus ONE delta term each (du = u1-u0 = inv_ncm1, dv =
-        # v_top-v_bot = inv_nrm1). tri0: uw = u0*iw + du*p_c, vw =
-        # v_top*iw - dv*p_b; tri1: uw = u1*iw - du*p_b, vw = v_bot*iw +
-        # dv*p_a — all numerators scaled by the selected triangle's area.
-        iw_a = jnp.where(d, i00, i01)
-        iw_c = jnp.where(d, i01, i11)
-        p_a = w_a * iw_a
-        p_b = w_b * i10
-        p_c = w_c * iw_c
-        iw = p_a + p_b + p_c
-        uw = (jnp.where(d, u0, u1) * iw
-              + inv_ncm1 * jnp.where(d, p_c, -p_b))
-        vw = (jnp.where(d, v_top, v_bot) * iw
-              + inv_nrm1 * jnp.where(d, -p_b, p_a))
-        bzn = jnp.where(better, znum, bzn)
-        bar = jnp.where(better, area, bar)
-        bid = jnp.where(better, tid, bid)
-        buw = jnp.where(better, uw, buw)
-        bvw = jnp.where(better, vw, bvw)
-        biw = jnp.where(better, iw, biw)
-        if need_minl:  # wireframe/attrs only: the texture path skips it
-            # min-lambda NUMERATOR (the area factor divides out with bar
-            # at the block tail / threshold test).
-            minl = jnp.minimum(w_a, jnp.minimum(w_b, w_c))
-            bml = jnp.where(better, minl, bml)
+        # to tri1 whose own NaN sign tests fail — cov stays false. The
+        # select / inside-test / depth-compare / attribute fold is the
+        # shared ``_cell_fold`` (also the colfix window sweep's fold).
+        (bzn, bar, bid, buw, bvw, biw, bml) = _cell_fold(
+            (bzn, bar, bid, buw, bvw, biw, bml), cell_ok,
+            diag_e, top_e, bottom_e, left_e, right_e,
+            z00, z10, z01, z11, i00, i10, i01, i11,
+            u0, u1, v_top, v_bot, base_id, inv_ncm1, inv_nrm1, need_minl,
+            cull_thresh=config.edge_cull_threshold,
+            zms=(None if config.edge_cull_threshold is None
+                 else (zm1[k], zm1[k + 1], zm2[k], zm2[k + 1])))
 
     return bzn, bar, bid, buw, bvw, biw, bml
 
@@ -1971,10 +2358,10 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
     """Run the fused scan kernel over a FRAME GROUP.
 
     Inputs carry a leading frame axis T (``win`` (T, 3, RPAD, CL), scalars
-    (T, nbands)/(T, nblocks)/(T, 8)); the kernel grid is (T, nbands) so a
-    whole group is one dispatch (per-frame dispatches measurably lose
-    ~18 ms/frame to host overhead through the remote-TPU tunnel). Returns
-    (T, nbands, 8, 8, WL) f32 [u, v, zm, cov, z].
+    (T, nbands)/(T, nblocks)/(T, 8)); the kernel grid is (T, nbands /
+    _BANDS_PER_STEP) so a whole group is one dispatch (per-frame dispatches
+    measurably lose ~18 ms/frame to host overhead through the remote-TPU
+    tunnel). Returns (T, nbands, 8, 8, WL) f32 [u, v, zm, cov, z].
 
     With ``debug_records`` also returns slot 0's full record planes,
     (T, nbands, 1, nrec, 8, CL) — forensic hook for validating the compiled
@@ -1985,33 +2372,59 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
     nbands = -(-height // 8)
     ht, wt = tex_hw
 
+    # Bands per grid step (round 4): the 2-bands/step merge is byte-identical
+    # but measured SLOWER on chip (84.5-84.9 vs 86.7-87.3 fps — see
+    # _BANDS_PER_STEP and ROADMAP "Measured dead ends"), so the default stays
+    # 1. The machinery is kept: band scalars pad to the step multiple with
+    # EMPTY work (zero bounds -> no records; mid = -2 -> march skipped), and
+    # every consumer crops its rows to ``height``. debug_records keeps
+    # 1 band/step (its forensic output shape is per-band); big_grid keeps
+    # its own per-chunk protocol.
+    bps = 1 if (config.big_grid or debug_records) else _BANDS_PER_STEP
+    nb2 = _ceil_to(nbands, bps)
+    if nb2 != nbands:
+        nchunks_p = cl // 128
+        nblocks_p = wl // 128
+        pad_b = nb2 - nbands
+        w0 = jnp.pad(w0, ((0, 0), (0, pad_b)))
+        bounds = jnp.pad(
+            bounds.reshape(T, nbands, nchunks_p),
+            ((0, 0), (0, pad_b), (0, 0))).reshape(T, nb2 * nchunks_p)
+        mid = jnp.pad(
+            mid.reshape(T, nbands, nblocks_p),
+            ((0, 0), (0, pad_b), (0, 0)),
+            constant_values=-2).reshape(T, nb2 * nblocks_p)
+        if bflag is not None:
+            bflag = jnp.pad(jnp.asarray(bflag, jnp.int32),
+                            ((0, 0), (0, pad_b)))
+
     if mode == "attrs":
         out_specs = pl.BlockSpec(
-            (1, 1, 8, 8, wl), lambda t, i, *_: (t, i, 0, 0, 0),
+            (1, bps, 8, 8, wl), lambda t, i, *_: (t, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shape = jax.ShapeDtypeStruct((T, nbands, 8, 8, wl), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((T, nb2, 8, 8, wl), jnp.float32)
     elif mode == "texture_z":
         # Quality-merge path: rgba + the raster-z merge key, both in the
         # full-image row layout.
         out_specs = (
-            pl.BlockSpec((1, 8, wl), lambda t, i, *_: (t, i, 0),
+            pl.BlockSpec((1, 8 * bps, wl), lambda t, i, *_: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, wl), lambda t, i, *_: (t, i, 0),
+            pl.BlockSpec((1, 8 * bps, wl), lambda t, i, *_: (t, i, 0),
                          memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.uint32),
-            jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.float32),
+            jax.ShapeDtypeStruct((T, nb2 * 8, wl), jnp.uint32),
+            jax.ShapeDtypeStruct((T, nb2 * 8, wl), jnp.float32),
         )
     else:
         # Full-image row layout: band i writes image rows [8i, 8i+8), so the
         # host-side assembly is a pure bitcast (no relayout copy).
         out_specs = pl.BlockSpec(
-            (1, 8, wl), lambda t, i, *_: (t, i, 0),
+            (1, 8 * bps, wl), lambda t, i, *_: (t, i, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shape = jax.ShapeDtypeStruct((T, nbands * 8, wl), jnp.uint32)
+        out_shape = jax.ShapeDtypeStruct((T, nb2 * 8, wl), jnp.uint32)
     if debug_records:
         out_specs = (out_specs, pl.BlockSpec(
             (1, 1, 1, config.nrec, 8, cl),
@@ -2028,7 +2441,7 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
             "sparse-band rendering exists only for the texture_z patch pass"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if sparse else 5,
-        grid=(T, nbands),
+        grid=(T, nb2 // bps),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
@@ -2047,9 +2460,10 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
         ),
     )
     kernel = functools.partial(
-        _scan_kernel, config=config, width=width, height=height,
+        _scan_kernel_steps, config=config, width=width, height=height,
         n_r=n_r, n_c=n_c, cl=cl, wl=wl, ht=ht, wt=wt, mode=mode,
         debug_records=debug_records, phases=phases, sparse_bands=sparse,
+        bands_per_step=bps,
     )
     kwargs = {}
     if config.big_grid and not interpret:

@@ -670,3 +670,76 @@ def test_scan_patch_closes_flagged_holes():
     assert flips(patched) < 0.55 * flips(single), (flips(patched),
                                                    flips(single))
     assert np.array_equal(traced, patched)
+
+
+@pytest.mark.scan_slow
+def test_scan_mxu_march_bit_exact(checker_texture):
+    """The MXU exclusive-hit march (round 4) must be byte-identical to the
+    dense sweep: eligible blocks' one-hot matmul reproduces the dense answer
+    exactly (bf16-exact products, f32 accumulation) and multi-hit blocks fall
+    back to the dense sweep in-kernel. The fold-heavy random-depth scene
+    exercises both branches (folds -> multi-hit fallback; smooth regions ->
+    the matmul). Production-config (cw=256, narrow-march) exactness is
+    A/B-verified on chip (ROADMAP round-4 log)."""
+    verts, uvs, idx, mvp, _ = scene(density=4, size=(48, 64), seed=3,
+                                    displacement=10.0)
+    W, H = 128, 96
+    n = 17
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    texf = checker_texture.astype(np.float32)
+    base = dataclasses.replace(CFG, rmax=24, hyps=1)
+    with pltpu.force_tpu_interpret_mode():
+        dense = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H, base, "texture", interpret=True))
+        mxu = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H,
+            dataclasses.replace(base, mxu_march=True), "texture",
+            interpret=True))
+    assert np.array_equal(dense, mxu), (
+        f"{(dense != mxu).any(-1).sum()} pixels differ between the MXU and "
+        f"dense marches")
+
+
+@pytest.mark.scan_slow
+def test_scan_colfix_closes_holes(checker_texture):
+    """The column-exhaustive hole fill (round 4, ScanConfig.colfix) must
+    close most coverage holes WITHOUT breaking covered pixels: for blocks
+    with uncovered-but-bracketed pixels it exact-tests every scanned window
+    row at a column fan around each slot's marched top-1 column, so the
+    strip-window and realign-cap classes (covering row outside the sr-row
+    strip) recover. The pixel-scale-cell random-depth scene (n-1 == W cells)
+    is the class's home turf: measured here base 875 holes -> 26 at K=2
+    with 1186/1722 oracle flips fixed and one near-tie flip introduced."""
+    verts, uvs, idx, mvp, _ = scene(density=6, size=(48, 64), seed=3,
+                                    displacement=10.0)
+    W, H = 64, 48
+    n = 65
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    texf = checker_texture.astype(np.float32)
+    want = np.asarray(raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H))
+    base_cfg = dataclasses.replace(CFG_MED, rmax=48)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H, base_cfg, "texture", interpret=True))
+        fixed = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H,
+            dataclasses.replace(base_cfg, colfix=2), "texture",
+            interpret=True))
+
+    def flips(img):
+        return np.abs(img.astype(int) - want.astype(int)).max(-1) > 8
+
+    def holes(img):
+        return (flips(img) & (img[..., :3] == 0).all(-1)
+                & ~(want[..., :3] == 0).all(-1))
+
+    fb, hb = flips(base), holes(base)
+    fx, hx = flips(fixed), holes(fixed)
+    assert hb.sum() > 200, "scene no longer exhibits the hole class"
+    assert hx.sum() < 0.1 * hb.sum(), (hb.sum(), hx.sum())
+    broke = (~fb & fx).sum()
+    assert broke <= max(2, (fb & ~fx).sum() // 100), (
+        f"colfix broke {broke} previously-correct pixels")

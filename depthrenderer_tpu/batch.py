@@ -41,6 +41,11 @@ from .writers import AsyncImageWriter, AsyncVideoWriter
 from . import postprocess
 
 
+def _parse_colfix(v: str):
+    """CLI --colfix value -> render_clip/suggest_scan_config argument."""
+    return v if v == "auto" else None if v == "none" else int(v)
+
+
 def build_parser(prog="python -m depthrenderer_tpu.batch"):
     p = argparse.ArgumentParser(
         prog=prog,
@@ -98,7 +103,14 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
                         "hole-driven sparse transposed patch pass); applies "
                         "to both the sequential and --sharded paths (errors "
                         "if the resolved impl is not 'scan'). Exclusive with "
-                        "--quality.")
+                        "--quality. SUPERSEDED by the default colfix pass.")
+    p.add_argument("--colfix", default="auto",
+                   choices=("auto", "none", "0", "1", "2", "3"),
+                   help="Scan fast path: column fan half-width of the "
+                        "in-kernel exhaustive hole fill (auto = 1, or 3 "
+                        "under --quality; 'none' = round-3 maximum-speed "
+                        "config). Applies to both the sequential and "
+                        "--sharded paths.")
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
@@ -236,7 +248,7 @@ def main(argv=None):
                     frame_batch=args.frame_batch, on_frames=on_frames,
                     impl=args.impl, binning_quantile=args.binning_quantile,
                     edge_cull_threshold=args.edge_cull, quality=args.quality,
-                    patch=args.patch)
+                    patch=args.patch, colfix=_parse_colfix(args.colfix))
         video_writer.cleanup()
         dt = time.time() - t0
         log(f"[{model_name}] {num_frames} frames in {dt:.2f}s "
@@ -294,11 +306,12 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
     n = 2 ** args.mesh_density + 1
     impl = _auto_impl(n, args.edge_cull) if args.impl == "auto" else args.impl
     scan_config = None
-    if args.quality or args.patch:
+    if args.quality or args.patch or args.colfix != "auto":
         # Thread the fidelity knobs into the farm (VERDICT r3 next-round #8) —
         # or fail loudly: a silently-ignored --quality shipped fast frames
         # labelled as quality ones.
-        knob = "--quality" if args.quality else "--patch"
+        knob = ("--quality" if args.quality
+                else "--patch" if args.patch else "--colfix")
         if args.quality and args.patch:
             raise SystemExit("--quality and --patch are mutually exclusive")
         if impl != "scan":
@@ -309,7 +322,9 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
         scan_config = suggest_scan_config(
             n, out_w, out_h, quality=args.quality, patch=args.patch,
-            edge_cull_threshold=args.edge_cull)
+            edge_cull_threshold=args.edge_cull,
+            **({} if args.colfix == "auto"
+               else {"colfix": _parse_colfix(args.colfix)}))
     device_mesh = make_render_mesh()
     log(f"Sharding {len(models)} scenes over {device_mesh.devices.size} device(s) "
         f"(impl={impl}{', quality' if args.quality else ''}).")

@@ -105,7 +105,15 @@ def build_parser(prog="python -m depthrenderer_tpu"):
                         "coverage holes pass 1 leaves (flips vs lossless 1.0%% "
                         "-> 0.34%% at ~2.6x frame time at 1080p/d10, vs "
                         "--quality's 0.19%% at ~3.7x). Exclusive with "
-                        "--quality.")
+                        "--quality. SUPERSEDED by the default colfix pass "
+                        "(faster and higher fidelity); kept for parity.")
+    p.add_argument("--colfix", default="auto",
+                   choices=("auto", "none", "0", "1", "2", "3"),
+                   help="Scan fast path: column fan half-width of the "
+                        "in-kernel exhaustive hole fill (default auto = 1, "
+                        "or 3 under --quality). 'none' disables it for the "
+                        "round-3 maximum-speed config (~59 -> 87 fps at "
+                        "1080p/d10 for -3.8 dB GL-golden frontal PSNR).")
     p.add_argument("--no-video", action="store_true",
                    help="Skip video output (write only the sample frame).")
     p.add_argument("--png-every", type=int, default=None, dest="png_every",
@@ -202,8 +210,10 @@ def main(argv=None):
     log(f"Rendering {num_frames} frames at {out_w}x{out_h} "
         f"(mesh density {args.mesh_density}, {mesh.num_triangles:,d} triangles)...")
     t0 = time.time()
+    colfix = (args.colfix if args.colfix == "auto"
+              else None if args.colfix == "none" else int(args.colfix))
     render_clip(mesh, camera.projection, views, out_w, out_h,
-                quality=args.quality, patch=args.patch,
+                quality=args.quality, patch=args.patch, colfix=colfix,
                 mode=args.mode, frame_batch=args.frame_batch, on_frames=on_frames,
                 impl=args.impl, binning_quantile=args.binning_quantile,
                 edge_cull_threshold=args.edge_cull)

@@ -299,6 +299,8 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     pack_explicit = "pack_xy" in overrides
     dual_explicit = "dual_col" in overrides
     rowe_explicit = "row_edge" in overrides
+    colfix_explicit = "colfix" in overrides
+    strips_explicit = {k: k in overrides for k in ("sr", "off", "dmax")}
     if quality:
         # Quality mode = the row-edge second pass (kills the strip-window
         # hole class, 55% of residual holes) + dual-column self-contained
@@ -327,10 +329,9 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     # Round-3 production knobs (measured trade-offs, ROADMAP.md): sr=10/off=4
     # (-0.12pp winner agreement) and the +-5 realign cap (-0.22pp) buy
     # ~3.5 ms/frame at d10/1080p; quality-gated by the GL-golden/flip-rate
-    # checks (bench.py diagnostics, tests/test_scan.py).
-    overrides.setdefault("sr", 10)
-    overrides.setdefault("off", 4)
-    overrides.setdefault("dmax", 5)
+    # checks (bench.py diagnostics, tests/test_scan.py). Applied BELOW, after
+    # the colfix default is resolved — under colfix the strips shrink to
+    # sr=6/off=2/dmax=4 at pixel-identical output (round 4, see below).
     # Single march hypothesis at production density (round 3, measured):
     # the gated hypothesis-2 pass costs 2.56 ms/frame on the fold-heavy NYU
     # scene for +0.12pp winner agreement and +1.0 dB GL PSNR — at d>=10,
@@ -364,6 +365,27 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
         max(128, min(_ceil_to(2 * half_need + 8, 128),
                      _ceil_to(grid_n, 128))),
     )
+    # Column-exhaustive hole fill (round 4): default ON for the standard
+    # variant. Measured at 1080p/d10 (ROADMAP round-4 log): the fast default
+    # (colfix=1) takes flips vs the lossless control 1.00% -> 0.33% and the
+    # GL-golden masked PSNR 29.3 -> 33.1 dB frontal / 31.8 -> 35.1 sway40 at
+    # 87 -> 59 fps; quality mode (colfix=3) reaches 40.2 dB frontal — the
+    # first config to PASS the >= 40 dB BASELINE gate at production density
+    # (sway40 38.5 dB, within 0.55 dB of the lossless control's own 39.0 GL
+    # floor there). With the fixup recovering every well-bracketed strip
+    # miss, the strip machinery itself shrinks: sr=6/off=2/dmax=4 measures
+    # PIXEL-IDENTICAL output to sr=10/off=4/dmax=5 under colfix (the sr-
+    # induced misses are exactly the class the fixup recovers) at +2.5 fps.
+    if (not overrides.get("big_grid", False)
+            and not overrides.get("mxu_march", False) and cw <= 256):
+        overrides.setdefault("colfix", 3 if quality else 1)
+    if overrides.get("colfix") is not None and not quality:
+        overrides.setdefault("sr", 6)
+        overrides.setdefault("off", 2)
+        overrides.setdefault("dmax", 4)
+    overrides.setdefault("sr", 10)
+    overrides.setdefault("off", 4)
+    overrides.setdefault("dmax", 5)
     cfg = ScanConfig(rmax=rmax, cw=cw, **overrides)
     if (cfg.dual_col and not dual_explicit and not cfg.big_grid
             and not _vmem_budget_ok(grid_n, cfg)):
@@ -383,6 +405,13 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
             dual_col=cfg.dual_col if dual_explicit else False,
             row_edge=cfg.row_edge if rowe_explicit else False,
             patch=False,  # sparse patch is standard-variant only
+            colfix=cfg.colfix if colfix_explicit else None,
+            # the colfix-shrunken strips (sr=6/off=2/dmax=4) are only
+            # fidelity-neutral WITH the fixup recovering the misses — the
+            # big_grid variant has no colfix, so revert to the round-3 knobs
+            sr=cfg.sr if (strips_explicit["sr"] or quality) else 10,
+            off=cfg.off if (strips_explicit["off"] or quality) else 4,
+            dmax=cfg.dmax if (strips_explicit["dmax"] or quality) else 5,
             rmax=cfg.rmax if rmax_explicit else min(cfg.rmax, 320))
     return cfg
 
@@ -1645,46 +1674,11 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
             K = config.colfix
             NF = 2 * K + 2           # fan corner columns
             nsub = CWF // 128
+            NS2 = min(nsub, 2)       # gathered subtables (dynamic base)
             sxw_f = 2.0 / width
             syw_f = 2.0 / height
             qyf = qy_col * jnp.ones((8, 128), jnp.float32)
             need_minl_fx = mode in ("attrs", "wireframe")
-
-            # union row bounds over the fetch window's chunks (window-rel.)
-            kb_u = jnp.int32(config.rmax)
-            ke_u = jnp.int32(0)
-            for tt in range(nsub):
-                bnd_t = bounds_ref[t, i * nchunks + canch_f + tt]
-                kbt = bnd_t & 0xFFF
-                ket = (bnd_t >> 12) & 0xFFF
-                ne_t = ket > kbt
-                kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
-                ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
-            rb0 = kb_u // 8
-            rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom corners
-            # reach row ke_u, which may start the next 8-row block
-
-            def load_parts(b):
-                """[v][tt] -> (8, 128) window rows 8b..8b+7, fetch chunk tt."""
-                return [[load_block(v, b, canch_f + tt) for tt in range(nsub)]
-                        for v in range(3)]
-
-            def fan_gather(parts_v, j, idx):
-                """Row j of the subtable-chained window channel at per-pixel
-                fetch-window column ``idx`` (mirrors gather_rec's static
-                chain — measured faster than dynamic lane slices below 4
-                subtables)."""
-                idc = jnp.clip(idx, 0, CWF - 1)
-                row0 = jnp.broadcast_to(parts_v[0][j : j + 1], (8, 128))
-                g = jnp.take_along_axis(row0, jnp.clip(idc, 0, 127), axis=1)
-                for tt in range(1, nsub):
-                    rowt = jnp.broadcast_to(parts_v[tt][j : j + 1], (8, 128))
-                    g = jnp.where(
-                        idc >= tt * 128,
-                        jnp.take_along_axis(
-                            rowt, jnp.clip(idc - tt * 128, 0, 127), axis=1),
-                        g)
-                return g
 
             def invw_fx(x, y, z):
                 return (m3r[0] * (x * sxw_f - 1.0)
@@ -1700,15 +1694,69 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 hitok = m1v < jnp.float32(_FAR * 0.5)
                 j0 = (jnp.clip(h1f, 0.0, jnp.float32(MW - 1))
                       .astype(jnp.int32) + off_f)
+                # Dynamic 128-aligned 2-subtable gather window over the fan
+                # (gather_rec's big-grid trick): fan columns outside the
+                # 256-lane window around the block's min bracket mask their
+                # cells out — a lost recovery only for bracket spans > ~256
+                # columns (extreme folds), never false coverage.
+                jmin = jnp.min(jnp.where(hitok, j0, jnp.int32(CWF)))
+                base = jnp.clip(jmin >> 7, 0, max(nsub - NS2, 0))
                 idxs = [j0 + (cc - K) for cc in range(NF)]
-                colok = [hitok & (ix >= 0) & (ix <= CWF - 1) for ix in idxs]
+                # window-local fan indices, precomputed ONCE per slot
+                idls = [jnp.clip(ix - base * 128, 0, NS2 * 128 - 1)
+                        for ix in idxs]
+                id0 = [jnp.clip(il, 0, 127) for il in idls]
+                id1 = [jnp.clip(il - 128, 0, 127) for il in idls]
+                hi1 = [il >= 128 for il in idls]
+                colok = [hitok & (ix >= 0) & (ix <= CWF - 1)
+                         & (ix - base * 128 >= 0)
+                         & (ix - base * 128 <= NS2 * 128 - 1)
+                         for ix in idxs]
                 cgs = [(canch_f * 128 + jnp.clip(ix, 0, CWF - 1))
                        .astype(jnp.float32) for ix in idxs]
 
+                def load_parts(b):
+                    """[v][tt] -> (8, 128) window rows 8b..8b+7 at the
+                    dynamically-based (128-aligned) fan subtable tt."""
+                    return [[load_block(v, b, canch_f + base + tt)
+                             for tt in range(NS2)] for v in range(3)]
+
+                # union row bounds of the TWO gathered chunks only (cells
+                # from other chunks are masked by colok anyway, and a
+                # chunk's own [kb, ke) provably bounds its covering rows)
+                kb_u = jnp.int32(config.rmax)
+                ke_u = jnp.int32(0)
+                for tt in range(NS2):
+                    bnd_t = bounds_ref[t, i * nchunks + canch_f + base + tt]
+                    kbt = bnd_t & 0xFFF
+                    ket = (bnd_t >> 12) & 0xFFF
+                    ne_t = ket > kbt
+                    kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
+                    ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
+                rb0 = kb_u // 8
+                rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom
+                # corners reach row ke_u, which may start the next block
+
                 def grow_all(parts, j):
-                    return tuple(
-                        tuple(fan_gather(parts[v], j, idxs[cc])
-                              for v in range(3)) for cc in range(NF))
+                    # broadcasts hoisted per (row, channel, subtable): the
+                    # NF fan gathers share them
+                    rows = [[jnp.broadcast_to(parts[v][tt][j : j + 1],
+                                              (8, 128))
+                             for tt in range(NS2)] for v in range(3)]
+                    out = []
+                    for cc in range(NF):
+                        vals = []
+                        for v in range(3):
+                            g = jnp.take_along_axis(rows[v][0], id0[cc],
+                                                    axis=1)
+                            if NS2 == 2:
+                                g = jnp.where(
+                                    hi1[cc],
+                                    jnp.take_along_axis(rows[v][1], id1[cc],
+                                                        axis=1), g)
+                            vals.append(g)
+                        out.append(tuple(vals))
+                    return tuple(out)
 
                 def fix_block(rb, carry):
                     b_acc, gtop = carry

@@ -273,7 +273,8 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                 on_frames: Optional[Callable[[int, np.ndarray], None]] = None,
                 impl: str = "auto", binning_quantile: float = 0.995,
                 edge_cull_threshold: Optional[float] = None,
-                quality: bool = False, patch: bool = False):
+                quality: bool = False, patch: bool = False,
+                colfix="auto"):
     """Batched clip rendering: the whole camera path in device-chunked batches.
 
     :param mesh: a grid :class:`Mesh`.
@@ -290,7 +291,15 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
         hole-driven sparse transposed patch pass (``ScanConfig.patch``;
         measured at 1080p/d10: flips vs the lossless grid 1.0% -> 0.34% at
         ~2.6x frame time vs quality mode's 0.19% at ~3.7x). Mutually
-        exclusive with ``quality``; no effect on the other impls.
+        exclusive with ``quality``; no effect on the other impls. Superseded
+        in round 4 by the default colfix pass, which is both faster and
+        higher-fidelity (see ``colfix``); kept for API parity.
+    :param colfix: the in-kernel column-exhaustive hole fill's fan half-width
+        (``ScanConfig.colfix``): ``"auto"`` (default) lets
+        ``suggest_scan_config`` pick (1, or 3 under ``quality``), ``None``
+        disables it (reverting to the round-3 fast config, ~59 -> 87 fps at
+        1080p/d10 for -3.8 dB GL frontal), an int 0-3 forces a fan width.
+        Scan impl only.
     :return: total frame count (frames are delivered via ``on_frames``), or the
         stacked (T, H, W, 4) array when ``on_frames`` is None.
     """
@@ -366,7 +375,8 @@ def render_clip(mesh: Mesh, projection, view_batch, width, height,
                              "pass the patch sparsifies)")
         scan_cfg = raster_scan.suggest_scan_config(
             n, width, height, quality=quality, patch=patch,
-            edge_cull_threshold=edge_cull_threshold)
+            edge_cull_threshold=edge_cull_threshold,
+            **({} if colfix == "auto" else {"colfix": colfix}))
         # Surface hull-window clipping the way the tiled path surfaces binning
         # overflow (sampled views; 0 = the scan saw every candidate row).
         sample = mvps[np.linspace(0, total - 1, min(3, total)).astype(int)]

@@ -57,14 +57,25 @@ def test_quality_flag_surface():
     cfg = suggest_scan_config(1025, 1920, 1080, quality=True)
     assert cfg.dual_col and cfg.sr == 12 and cfg.off == 5 and cfg.dmax is None
     assert cfg.pack_xy and not cfg.big_grid
+    assert cfg.colfix == 3  # round 4: quality runs the widest column fan
     base = suggest_scan_config(1025, 1920, 1080)
-    assert not base.dual_col and base.sr == 10
+    # Round 4: colfix=1 defaults ON, and the strips shrink to sr=6/off=2
+    # (pixel-identical under the fixup, measured on chip — ROADMAP).
+    assert not base.dual_col and base.colfix == 1 and base.sr == 6
+    # Disabling colfix reverts the strip knobs to the round-3 production
+    # values (sr=6 is only fidelity-neutral WITH the fixup).
+    nofix = suggest_scan_config(1025, 1920, 1080, colfix=None)
+    assert nofix.colfix is None and nofix.sr == 10 and nofix.dmax == 5
     # Explicit overrides survive the quality defaults.
     assert suggest_scan_config(1025, 1920, 1080, quality=True, sr=10).sr == 10
-    # d11/d12 grids fall to the big_grid variant: quality sheds dual_col
-    # (standard-variant only) instead of crashing.
+    # d11/d12 grids fall to the big_grid variant: quality sheds dual_col and
+    # colfix (standard-variant only) instead of crashing, and reverts the
+    # colfix-shrunken strips.
     big = suggest_scan_config(4097, 3840, 2160, quality=True)
     assert big.big_grid and not big.dual_col and big.sr == 12
+    assert big.colfix is None
+    bigf = suggest_scan_config(4097, 3840, 2160)
+    assert bigf.big_grid and bigf.colfix is None and bigf.sr == 10
 
 
 def test_mesh_from_texture_without_depth(checker_texture):

@@ -743,3 +743,41 @@ def test_scan_colfix_closes_holes(checker_texture):
     broke = (~fb & fx).sum()
     assert broke <= max(2, (fb & ~fx).sum() // 100), (
         f"colfix broke {broke} previously-correct pixels")
+
+
+@pytest.mark.scan_slow
+def test_scan_colfix_production_window_shape(checker_texture):
+    """colfix at the PRODUCTION gather shape: cw=256 with a CL=384 window is
+    the only config class where the fixup's dynamically-based 2-subtable
+    gather (base = min bracket >> 7) actually moves — the small-grid tests
+    above all collapse to one subtable. Gates the same no-false-coverage /
+    hole-closure contract on an n=257 grid (the on-chip 1080p/d10 A/B
+    measured identical fidelity for the dynamic window vs the static
+    3-subtable chain; this pins the interpret-mode equivalent)."""
+    verts, uvs, idx, mvp, _ = scene(density=8, size=(48, 64), seed=3,
+                                    displacement=10.0)
+    W, H = 256, 64
+    n = 257
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    texf = checker_texture.astype(np.float32)
+    want = np.asarray(raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H))
+    base_cfg = ScanConfig(rmax=96, cw=256, sr=6, off=2, dmax=4)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H, base_cfg, "texture", interpret=True))
+        fixed = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H,
+            dataclasses.replace(base_cfg, colfix=1), "texture",
+            interpret=True))
+
+    def flips(img):
+        return np.abs(img.astype(int) - want.astype(int)).max(-1) > 8
+
+    fb, fx = flips(base), flips(fixed)
+    assert fx.sum() <= fb.sum(), (fb.sum(), fx.sum())
+    broke = (~fb & fx).sum()
+    assert broke <= max(2, (fb & ~fx).sum() // 8), (
+        f"colfix (2-subtable window) broke {broke} pixels, "
+        f"fixed {(fb & ~fx).sum()}")

@@ -31,7 +31,8 @@ BASELINE_FPS = 500.0  # BASELINE.json north_star: >=500 1080p frames/s/chip @ d=
 CROSS_FLOOR_DB = {   # scan-vs-LOSSLESS-grid PSNR floor (regression canary)
     (10, 1080): 31.5,  # round 4, colfix=1 default: measured 32.7-32.8
                        # across runs (was 30.4 pre-colfix at hyps=1)
-    (10, 720): 28.0,   # sub-pixel cells (1.4 grid rows/px row): measured 29-30
+    (10, 720): 30.0,   # r4 colfix default: measured 31.6 (sub-pixel cells,
+                       # 1.4 grid rows/px row — was 29-30 pre-colfix)
     (9, 1080): 30.0,   # coarser grid than the headline: >= its floor
     (8, 480): 40.0,    # multi-pixel cells: scan is near-exact (measured 44+)
     (12, 2160): 25.0,  # FIRST on-config lossless comparison (round 4, the
@@ -46,7 +47,8 @@ CROSS_FLIP_CEIL = {          # scan-vs-lossless-grid flip-fraction ceiling
     (10, 1080): 0.008,       # round 4, colfix=1 default: measured 0.0033
                              # (sway0; was 0.0100 pre-colfix / 0.0148
                              # identity view — see frontal_attrib.py)
-    (8, 480): 0.0036,        # measured 0.0018 (default config, frontal)
+    (10, 720): 0.008,        # r4 colfix default: measured 0.0035 (sway0)
+    (8, 480): 0.0036,        # measured 0.0018 pre-colfix; 0.0003 at r4 HEAD
     (12, 2160): 0.02,        # measured 0.0183 vs the exact control (round 4)
 }
 CROSS_FLIP_CEIL_DEFAULT = 0.02

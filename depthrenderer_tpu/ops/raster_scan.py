@@ -230,10 +230,11 @@ class ScanConfig:
             "sweep's counts and second-minimum)"
         assert self.colfix is None or (
             not self.big_grid and not self.mxu_march
-            and 0 <= self.colfix <= 3 and self.cw <= 256), \
-            "colfix is standard-variant, cw <= 256, fan K in [0, 3], and " \
-            "not combinable with mxu_march (the fixup flags real-bracket " \
-            "pixels off the dense sweep's min key)"
+            and 0 <= self.colfix <= 3 and self.cw <= 384), \
+            "colfix is standard-variant, cw <= 384 (the march must run the " \
+            "narrow/wide _sweep, MW//128 < 4, to thread the fixup's h1/m1 " \
+            "out), fan K in [0, 3], and not combinable with mxu_march (the " \
+            "fixup flags real-bracket pixels off the dense sweep's min key)"
 
     @property
     def nrec(self) -> int:
@@ -377,7 +378,7 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
     # PIXEL-IDENTICAL output to sr=10/off=4/dmax=5 under colfix (the sr-
     # induced misses are exactly the class the fixup recovers) at +2.5 fps.
     if (not overrides.get("big_grid", False)
-            and not overrides.get("mxu_march", False) and cw <= 256):
+            and not overrides.get("mxu_march", False) and cw <= 384):
         overrides.setdefault("colfix", 3 if quality else 1)
     if overrides.get("colfix") is not None and not quality:
         overrides.setdefault("sr", 6)

@@ -38,8 +38,10 @@ sys.path.insert(0, "/root/repo")
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 640
 H = int(sys.argv[3]) if len(sys.argv) > 3 else 480
-NBRS = (2, 3)
-HYPS = (1, 2)
+import os as _os
+NBRS = tuple(int(x) for x in _os.environ.get("NBRS", "2,3").split(","))
+HYPS = tuple(int(x) for x in _os.environ.get("HYPS", "1,2").split(","))
+CAPY = int(_os.environ.get("CAPY", "48")); CAPX = int(_os.environ.get("CAPX", "24"))
 
 import os
 
@@ -122,7 +124,8 @@ def cell_cover_z(px, py, corners):
     return cov0 | cov1, zmin, tid
 
 
-def truth_forward(sx, sy, z, bad, cap_y=24, cap_x=12):
+def truth_forward(sx, sy, z, bad, cap_y=None, cap_x=None):
+    cap_y = cap_y or CAPY; cap_x = cap_x or CAPX
     """Exhaustive forward z-buffer truth: winner cell id + z per pixel.
 
     Vectorised over cells x a capped bbox offset grid; cells whose bbox
@@ -228,11 +231,38 @@ def simulate(sx, sy, z, bad, nbr, hyps):
     nrec_grp = np.bincount(grp)
     kept = rank < nbr
     kept_idx = order[kept]                          # indices into record list
-    # ---- march: per record, pixel hit range [mnx, mxx] ----
+    slot_k = rank[kept]                             # slot id of each record
+    # ---- march: per record, pixel hit range = the cell's SCANLINE SEGMENT
+    # (quad ∩ horizontal line qy via edge crossings; conservative min..max
+    # for non-convex folded quads). The bbox [mnx, mxx] was measured too
+    # loose: adjacent slanted cells' bboxes overlap several pixel columns,
+    # the coarse min4z rank then picks the wrong neighbour at hyps=1
+    # (6-8% winner misses at d8/VGA). Segments of one sheet tile the
+    # scanline, so hits per (pixel, slot) drop to ~#sheets.
     cell_k = cell_rep[kept_idx]
     k_k = k_rec[kept_idx]
-    px_lo = np.ceil(mnx[cell_k] - 0.5).astype(np.int64)
-    px_hi = np.floor(mxx[cell_k] - 0.5).astype(np.int64)
+    qy_k = k_k + 0.5
+    xs_k = xs[:, cell_k]
+    ys_k = ys[:, cell_k]
+    seg_lo = np.full(len(cell_k), np.inf)
+    seg_hi = np.full(len(cell_k), -np.inf)
+    # quad edge order a(0,tl) -> b(1,bl) -> d(3,br) -> c(2,tr) -> a
+    for e0, e1 in ((0, 1), (1, 3), (3, 2), (2, 0)):
+        y0, y1 = ys_k[e0], ys_k[e1]
+        x0, x1 = xs_k[e0], xs_k[e1]
+        crosses = (np.minimum(y0, y1) <= qy_k) & (qy_k <= np.maximum(y0, y1))
+        dy = y0 - y1
+        t = np.where(np.abs(dy) > 1e-30, (y0 - qy_k) / np.where(dy == 0, 1, dy),
+                     0.0)
+        xc = x0 + t * (x1 - x0)
+        # horizontal edges at qy: both endpoints are crossings
+        horiz = crosses & (np.abs(dy) <= 1e-30)
+        seg_lo = np.where(crosses, np.minimum(seg_lo, np.where(
+            horiz, np.minimum(x0, x1), xc)), seg_lo)
+        seg_hi = np.where(crosses, np.maximum(seg_hi, np.where(
+            horiz, np.maximum(x0, x1), xc)), seg_hi)
+    px_lo = np.ceil(seg_lo - 0.5).astype(np.int64)
+    px_hi = np.floor(seg_hi - 0.5).astype(np.int64)
     px_lo = np.maximum(px_lo, 0)
     px_hi = np.minimum(px_hi, W - 1)
     pcnt = np.maximum(px_hi - px_lo + 1, 0)
@@ -240,19 +270,18 @@ def simulate(sx, sy, z, bad, nbr, hyps):
     rec_rep = np.repeat(np.arange(len(cell_k)), pcnt)
     poffs = np.arange(ptot) - np.repeat(np.cumsum(pcnt) - pcnt, pcnt)
     px_pair = px_lo[rec_rep] + poffs
-    # rank by zkey within (pixel, slot)... the kernel's march is per slot;
-    # model the looser union: top (nbr*hyps) by zkey per PIXEL (the kernel
-    # keeps hyps per slot per marched column set — union is slightly
-    # stronger; also model strict per-slot-hyps below via slot rank)
+    # The kernel's march runs PER SLOT: per (pixel, slot), top ``hyps``
+    # hit columns by zkey reach the exact tests. Model exactly that.
     pixid = k_k[rec_rep] * W + px_pair
+    pixslot = pixid * 8 + slot_k[rec_rep]
     zk_pair = zkey[cell_k[rec_rep]]
-    porder = np.lexsort((zk_pair, pixid))
-    pix_s = pixid[porder]
+    porder = np.lexsort((zk_pair, pixslot))
+    pix_s = pixslot[porder]
     pfirst = np.r_[True, pix_s[1:] != pix_s[:-1]]
     pstart = np.nonzero(pfirst)[0]
     prank = np.arange(ptot) - np.repeat(pstart, np.diff(np.r_[pstart, ptot]))
     hit_cnt = np.bincount(np.cumsum(pfirst) - 1)
-    pkept = prank < nbr * hyps
+    pkept = prank < hyps
     cand = porder[pkept]
     # ---- exact tests on candidates ----
     cell_c = cell_k[rec_rep[cand]]
@@ -279,7 +308,7 @@ def simulate(sx, sy, z, bad, nbr, hyps):
         "records_per_yc_max": int(nrec_grp.max()),
         "slot_overflow_frac": float((nrec_grp > nbr).mean()),
         "march_hits_per_px_p99": float(np.percentile(hit_cnt, 99)),
-        "march_overflow_frac": float((hit_cnt > nbr * hyps).mean()),
+        "march_overflow_frac": float((hit_cnt > hyps).mean()),
     }
     return idb.reshape(H, W), zb, stats
 
@@ -294,13 +323,20 @@ def run_view(name, mvp):
     for nbr in NBRS:
         for hyps in HYPS:
             tid_s, z_s, st = simulate(sx, sy, z, bad, nbr, hyps)
-            flip = (tid_s != tid_t) & covered
-            hole = (tid_s < 0) & covered
-            false_cov = (tid_s >= 0) & ~covered
+            # z-based verdicts: the capped truth can itself miss stretched
+            # cells, so only count the sim WORSE (farther winner / hole)
+            # than truth. sim-better = truth's cap artifact, reported apart.
+            eps = 1e-9
+            worse = z_s > z_t + eps          # sim missed a nearer cell
+            hole = worse & ~np.isfinite(z_s)
+            better = z_s < z_t - eps
+            tie_flip = (np.abs(z_s - z_t) <= eps) & (tid_s != tid_t) \
+                & covered
             print(f"[{name}] nbr={nbr} hyps={hyps}: "
-                  f"winner-miss {flip.mean()*100:.4f}% "
+                  f"sim-worse {worse.mean()*100:.4f}% "
                   f"(holes {hole.mean()*100:.4f}%, "
-                  f"false-cov {false_cov.mean()*100:.4f}%) | "
+                  f"tie-flips {tie_flip.mean()*100:.4f}%, "
+                  f"sim-better {better.mean()*100:.4f}%) | "
                   f"rec/yc p99={st['records_per_yc_p99']:.0f} "
                   f"max={st['records_per_yc_max']} "
                   f"slot-ovf {st['slot_overflow_frac']*100:.3f}% "
@@ -308,7 +344,6 @@ def run_view(name, mvp):
                   f"march-ovf {st['march_overflow_frac']*100:.3f}%")
 
 
-mvp_frontal = proj @ cam
-mvp_sway40 = proj @ cam @ views[40]
-run_view("frontal", mvp_frontal)
-run_view("sway40", mvp_sway40)
+if __name__ == "__main__":
+    run_view("frontal", proj @ cam)
+    run_view("sway40", proj @ cam @ views[40])

@@ -343,8 +343,15 @@ def _render_tile(vg, wr, wc, px0, py0, texture_f32, width, height,
     v = best_attrs[:, 1] / den
     z_model = best_attrs[:, 3] / den
 
-    rgba = common.shade(covered, u, v, z_model, texture_f32, mode,
+    rgba = common.shade(covered, u, v, z_model, texture_f32,
+                        "texture" if mode == "texture_z" else mode,
                         min_lam=best_attrs[:, 4])
+    if mode == "texture_z":
+        # Raster (NDC) depth beside the pixels: the merge key for composing
+        # this path with an exactly-clipped straddler soup (round 5,
+        # render_frame_grid_exact) — the same per-pixel key GL's depth test
+        # uses across one draw call (render.py:448, glEnable(GL_DEPTH_TEST)).
+        return rgba.reshape(th, tw, 4), best_z.reshape(th, tw)
     return rgba.reshape(th, tw, 4)
 
 
@@ -481,13 +488,23 @@ def render_frame_grid_impl(mvp, vertex_grid, uv_grid, texture_f32, width, height
         tile_fn,
         {"wr": wr, "wc": wc, "px0": px0, "py0": py0},
         batch_size=min(config.map_batch, ntr * ntc),
-    )  # (nt, th, tw, 4)
+    )  # (nt, th, tw, 4) — or ((nt, th, tw, 4), (nt, th, tw)) for texture_z
 
-    frame = (
-        tiles.reshape(ntr, ntc, th, tw, 4)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(ntr * th, ntc * tw, 4)[:height, :width]
-    )
+    def assemble(t, ch):
+        shp = (ntr, ntc, th, tw) + ((ch,) if ch else ())
+        perm = (0, 2, 1, 3, 4) if ch else (0, 2, 1, 3)
+        out = t.reshape(shp).transpose(perm)
+        out = out.reshape((ntr * th, ntc * tw) + ((ch,) if ch else ()))
+        return out[:height, :width]
+
+    if mode == "texture_z":
+        frame = assemble(tiles[0], 4)
+        zframe = assemble(tiles[1], 0)
+        if with_stats:
+            return (frame, zframe), {
+                "overflow_tiles": jnp.sum(overflow.astype(jnp.int32))}
+        return frame, zframe
+    frame = assemble(tiles, 4)
     if with_stats:
         return frame, {"overflow_tiles": jnp.sum(overflow.astype(jnp.int32))}
     return frame
@@ -553,6 +570,13 @@ def render_frame_grid_exact(mvp, vertex_grid, uv_grid, texture_f32, width,
       overflow diagnostic proves zero tiles exceed their anchored windows
       (``binning_overflow_tiles == 0``), so no candidate is ever dropped —
       the failure mode the round-3 "lossless" control turned out to have.
+    * **Near-plane clipping** (round 5): at poses where the mesh straddles
+      the camera plane, the triangles the grid path masks (any corner at
+      ``clip_w <= 0``) are exactly Sutherland-Hodgman-clipped in host f64
+      and rendered through the soup path, then depth-merged with the grid
+      strips — GL's fixed-function clipping semantics
+      (``render.py:448``), so the control stays exact at straddling poses
+      (VERDICT r4 missing #3). Far-from-camera poses skip this entirely.
 
     Evaluation-path speed (~strips x the binning prep cost); not for
     production rendering.
@@ -600,7 +624,49 @@ def render_frame_grid_exact(mvp, vertex_grid, uv_grid, texture_f32, width,
                 f"window?) — raise max_anchors or strips")
         anchors = min(anchors * 2, max_anchors)
 
-    parts = [np.asarray(render_frame_grid(
-        mvps_k[k], vertex_grid, uv_grid, texture_f32, width, hs, cfg, mode))
-        for k in range(strips)]
-    return np.concatenate(parts, axis=0)
+    # Straddler set: triangles the grid path's near-plane masking drops
+    # (any corner behind the camera plane, any in front).
+    v_np = np.asarray(vertex_grid, np.float64).reshape(-1, 3)
+    w = v_np @ mvp64[3, :3] + mvp64[3, 3]
+    n_r, n_c = int(np.asarray(vertex_grid).shape[0]), \
+        int(np.asarray(vertex_grid).shape[1])
+    ids = np.arange(n_r * n_c, dtype=np.int64).reshape(n_r, n_c)
+    a, b = ids[:-1, :-1], ids[1:, :-1]
+    c, d = ids[:-1, 1:], ids[1:, 1:]
+    tris = np.stack([np.stack([a, b, c], -1), np.stack([c, b, d], -1)],
+                    axis=2).reshape(-1, 3)
+    wt = w[tris]
+    straddle = (wt <= 0).any(axis=1) & (wt > 0).any(axis=1)
+    soup = None
+    if mode == "texture" and straddle.any():
+        from .raster_soup import rasterize_soup
+
+        # rasterize_soup's host path Sutherland-Hodgman-clips the straddlers
+        # exactly (f64) before tracing; texture_z ships the depth-merge key.
+        rgba_s, z_s = rasterize_soup(
+            np.asarray(vertex_grid, np.float32).reshape(-1, 3),
+            np.asarray(uv_grid, np.float32).reshape(-1, 2),
+            tris[straddle].reshape(-1).astype(np.int32),
+            np.asarray(mvp, np.float32), texture_f32, width, height,
+            mode="texture_z", edge_cull_threshold=edge_cull_threshold)
+        soup = (np.asarray(rgba_s), np.asarray(z_s))
+
+    gmode = "texture_z" if soup is not None else mode
+    parts = []
+    zparts = []
+    for k in range(strips):
+        out = render_frame_grid(mvps_k[k], vertex_grid, uv_grid, texture_f32,
+                                width, hs, cfg, gmode)
+        if soup is not None:
+            parts.append(np.asarray(out[0]))
+            zparts.append(np.asarray(out[1]))
+        else:
+            parts.append(np.asarray(out))
+    frame = np.concatenate(parts, axis=0)
+    if soup is not None:
+        zg = np.concatenate(zparts, axis=0)
+        rgba_s, z_s = soup
+        # GL depth-test merge; exact cross-set ties are impossible (disjoint
+        # triangle sets) up to float coincidence — grid wins those.
+        frame = np.where((z_s < zg)[..., None], rgba_s, frame)
+    return frame

@@ -159,5 +159,15 @@ def _rasterize_soup_jit(vertices, uvs, indices, mvp, texture_f32, width,
         covered &= jnp.min(best_l, axis=1) <= common.WIREFRAME_EDGE_THRESHOLD
         mode = "texture"
 
-    rgba = common.shade(covered, u, v, z_model, texture_f32, mode)
+    rgba = common.shade(covered, u, v, z_model, texture_f32,
+                        "texture" if mode == "texture_z" else mode)
+    if mode == "texture_z":
+        # Raster (NDC) depth beside the pixels — the cross-path merge key
+        # (uncovered pixels carry the FAR sentinel). Used by
+        # raster_grid.render_frame_grid_exact to compose the exactly-clipped
+        # straddler soup with the grid strips (GL depth-test semantics
+        # across one draw call, render.py:448).
+        return (rgba.reshape(height, width, 4),
+                jnp.where(covered, best_z,
+                          common.FAR_SENTINEL).reshape(height, width))
     return rgba.reshape(height, width, 4)

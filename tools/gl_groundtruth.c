@@ -39,6 +39,7 @@
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
+#include <time.h>
 #include <string.h>
 
 /* ---- minimal EGL ABI ---- */
@@ -376,6 +377,33 @@ int main(int argc, char **argv) {
     glUniformMatrix4fv(glGetUniformLocation(prog, "mvp"), 1, 1 /*transpose*/, mvp);
     glDrawElements(GL_TRIANGLES, ni, GL_UNSIGNED_INT, 0);
     glFinish();
+
+    /* Optional throughput bench (round 5, roofline context): GL_BENCH_FRAMES=N
+     * re-renders the frame N times (tiny per-frame mvp jitter so the driver
+     * cannot skip work) and prints frames/s to stderr. This measures what the
+     * reference's own software-GL path (llvmpipe, the only GL on this host)
+     * achieves on the exact bench scene — the apples-to-apples software
+     * rasteriser baseline for BASELINE.md's 500 fps north star. */
+    const char *benv = getenv("GL_BENCH_FRAMES");
+    if (benv && atoi(benv) > 0) {
+        int bn = atoi(benv);
+        float m2[16];
+        struct timespec t0, t1;
+        clock_gettime(CLOCK_MONOTONIC, &t0);
+        for (int k = 0; k < bn; k++) {
+            memcpy(m2, mvp, sizeof m2);
+            m2[3] += 1e-6f * (float)(k % 7); /* jitter: defeat draw caching */
+            glClear(GL_COLOR_BUFFER_BIT | GL_DEPTH_BUFFER_BIT);
+            glUniformMatrix4fv(glGetUniformLocation(prog, "mvp"), 1, 1, m2);
+            glDrawElements(GL_TRIANGLES, ni, GL_UNSIGNED_INT, 0);
+        }
+        glFinish();
+        clock_gettime(CLOCK_MONOTONIC, &t1);
+        double dt = (double)(t1.tv_sec - t0.tv_sec)
+            + 1e-9 * (double)(t1.tv_nsec - t0.tv_nsec);
+        fprintf(stderr, "GL_BENCH: %d frames in %.2fs = %.2f frames/s "
+                "(%.2f ms/frame)\n", bn, dt, bn / dt, dt * 1e3 / bn);
+    }
 
     unsigned char *out = malloc((size_t)w * h * 4);
     glPixelStorei(GL_PACK_ALIGNMENT, 1);

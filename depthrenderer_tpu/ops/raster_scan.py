@@ -3004,12 +3004,24 @@ def _apply_patch_gates(bounds, mid, canch, blkflag, cwf: int, cl: int):
 def _patch_cfg2(config: ScanConfig, n_r, n_c, width, height):
     """Transposed-pass config for the patch: quality-grade knobs (the pass is
     sparse, so sr=12/off=5/uncapped realign/hyps=2 cost little) with the
-    rotated-footprint texture window (see render_frames_scan_quality)."""
+    rotated-footprint texture window (see render_frames_scan_quality).
+
+    ``DEPTHRENDERER_PATCH_CFG2`` (comma-separated ``k=v`` ScanConfig
+    overrides, ints / 'none') re-knobs the pass for on-chip A/Bs — the
+    round-5 mid-ladder tuning harness; the shipped defaults stay here."""
+    import os
+
+    overrides = dict(sr=max(config.sr, 12), off=max(config.off, 5),
+                     dmax=None, hyps=2, nbr=max(config.nbr, 2),
+                     tex_rows=192, tex_cols=384)
+    env = os.environ.get("DEPTHRENDERER_PATCH_CFG2", "")
+    for kv in (env.split(",") if env else []):
+        k, v = kv.split("=")
+        overrides[k.strip()] = (None if v.strip().lower() == "none"
+                                else int(v))
     return suggest_scan_config(
-        max(n_r, n_c), height, width, sr=max(config.sr, 12),
-        off=max(config.off, 5), dmax=None, hyps=2, nbr=max(config.nbr, 2),
-        edge_cull_threshold=config.edge_cull_threshold,
-        tex_rows=192, tex_cols=384)
+        max(n_r, n_c), height, width,
+        edge_cull_threshold=config.edge_cull_threshold, **overrides)
 
 
 def render_frames_scan_patched(mvps, vertex_grid, uv_grid, texture_f32,

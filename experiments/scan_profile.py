@@ -43,9 +43,11 @@ mvp = jnp.asarray(
 
 _ov = {}
 for k in ("nbr", "hyps", "sr", "rmax", "cw", "off", "tex_cols", "tex_rows",
-          "pack_xy", "dmax", "dual_col"):
+          "pack_xy", "dmax", "dual_col", "colfix"):
     if os.environ.get(k.upper()):
         _ov[k] = int(os.environ[k.upper()])
+if os.environ.get("COLFIX", "").lower() == "none":
+    _ov["colfix"] = None
 for _bk in ("pack_xy", "dual_col"):
     if _ov.get(_bk) is not None:
         _ov[_bk] = bool(_ov[_bk])

@@ -406,17 +406,32 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
 
     t0 = time.time()
     chunk = max(1, args.frame_batch)
-    for start in range(0, num_frames, chunk):
-        stop = min(start + chunk, num_frames)
-        mvps = np.broadcast_to(mvps_all[start:stop], (S, stop - start, 4, 4)).copy()
-        frames = np.asarray(render_scenes_sharded(
-            device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
-            frame_batch=stop - start, impl=impl, scan_config=scan_config,
-        ))  # (S, Tc, H, W, 4)
+
+    def consume(start, stop, dev_frames):
+        frames = np.asarray(dev_frames)  # (S, Tc, H, W, 4)
         for s in range(S):
             for k in range(stop - start):
                 writers[s].write(frames[s, k])
                 png_tasks[s](frames[s, k], start + k)
+
+    # One-chunk pipeline (round 5): dispatch chunk i+1 BEFORE reading back
+    # chunk i, so the tunnel readback + writer encode of a chunk overlap the
+    # device render of the next — the headless analogue of the reference's
+    # double-PBO async readback (render.py:636-652,775-797), which overlaps
+    # GPU->CPU DMA with rendering the next frame.
+    pending = None
+    for start in range(0, num_frames, chunk):
+        stop = min(start + chunk, num_frames)
+        mvps = np.broadcast_to(mvps_all[start:stop], (S, stop - start, 4, 4)).copy()
+        dev_frames = render_scenes_sharded(
+            device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
+            frame_batch=stop - start, impl=impl, scan_config=scan_config,
+        )  # async dispatch
+        if pending is not None:
+            consume(*pending)
+        pending = (start, stop, dev_frames)
+    if pending is not None:
+        consume(*pending)
 
     for s, model_name in enumerate(model_names):
         writers[s].cleanup()

@@ -102,11 +102,12 @@ def build_parser(prog="python -m depthrenderer_tpu"):
     p.add_argument("--patch", action="store_true",
                    help="Mid-tier fidelity mode for the scan fast path: the "
                         "hole-driven SPARSE transposed patch pass closes the "
-                        "coverage holes pass 1 leaves (flips vs lossless 1.0%% "
-                        "-> 0.34%% at ~2.6x frame time at 1080p/d10, vs "
-                        "--quality's 0.19%% at ~3.7x). Exclusive with "
-                        "--quality. SUPERSEDED by the default colfix pass "
-                        "(faster and higher fidelity); kept for parity.")
+                        "coverage holes pass 1 leaves. Round 5: combined "
+                        "with '--colfix 3' this is the BALANCED >=40 dB "
+                        "tier — 40.2/40.2 dB GL masked at 25.7 fps at "
+                        "1080p/d10, vs --quality's 44.2/44.0 dB at ~17-19 "
+                        "fps and the default's 33.1/35.1 dB at ~59 fps. "
+                        "Exclusive with --quality.")
     p.add_argument("--colfix", default="auto",
                    choices=("auto", "none", "0", "1", "2", "3"),
                    help="Scan fast path: column fan half-width of the "

@@ -1722,19 +1722,31 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     return [[load_block(v, b, canch_f + base + tt)
                              for tt in range(NS2)] for v in range(3)]
 
-                # union row bounds of the TWO gathered chunks only (cells
-                # from other chunks are masked by colok anyway, and a
-                # chunk's own [kb, ke) provably bounds its covering rows)
+                # union row bounds over ONLY the subtables the fan's valid
+                # corners actually land in (round 5: the 4-8-column fan
+                # rarely straddles a 128-lane boundary, and the unused
+                # chunk's span — wide at folds — used to inflate the row
+                # scan; cells from other chunks are masked by colok anyway,
+                # and a chunk's own [kb, ke) provably bounds its covering
+                # rows)
+                use_t = []
+                for tt in range(NS2):
+                    u = jnp.zeros((8, 128), jnp.bool_)
+                    for cc in range(NF):
+                        in_tt = hi1[cc] if tt == 1 else jnp.logical_not(
+                            hi1[cc])
+                        u = u | (colok[cc] & in_tt)
+                    use_t.append(jnp.any(u))
                 kb_u = jnp.int32(config.rmax)
                 ke_u = jnp.int32(0)
                 for tt in range(NS2):
                     bnd_t = bounds_ref[t, i * nchunks + canch_f + base + tt]
                     kbt = bnd_t & 0xFFF
                     ket = (bnd_t >> 12) & 0xFFF
-                    ne_t = ket > kbt
+                    ne_t = (ket > kbt) & use_t[tt]
                     kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
                     ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
-                rb0 = kb_u // 8
+                rb0 = jnp.minimum(kb_u // 8, nrow_blocks - 1)
                 rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom
                 # corners reach row ke_u, which may start the next block
 
@@ -1760,7 +1772,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     return tuple(out)
 
                 def fix_block(rb, carry):
-                    b_acc, gtop = carry
+                    b_acc, gtop, iwt, tops = carry
                     cur = load_parts(rb)
                     nxt = load_parts(jnp.minimum(rb + 1, nrow_blocks - 1))
                     for j in range(8):
@@ -1779,15 +1791,18 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                         # -lines[f+1] — exact negation keeps horizontally
                         # adjacent fan cells watertight (same guarantee
                         # _exact_cells gives the shared diagonal).
+                        # Corner 1/w: the top row's values are the previous
+                        # row's bottom values — carried, not recomputed
+                        # (round 5; bit-exact, same expression).
                         lines = []
-                        iwt, iwb = [], []
+                        iwb = []
                         for cc in range(NF):
                             x0, y0, z0 = gtop[cc]
                             x1, y1, z1 = gbot[cc]
                             lines.append((x1 - x0) * (qyf - y0)
                                          - (y1 - y0) * (qx - x0))
-                            iwt.append(invw_fx(x0, y0, z0))
                             iwb.append(invw_fx(x1, y1, z1))
+                        new_tops = []
                         for f in range(NF - 1):
                             x00, y00, z00 = gtop[f]
                             x10, y10, z10 = gbot[f]
@@ -1802,10 +1817,14 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                                        + cg) * 2.0
                             diag_e = ((x01 - x10) * (qyf - y10)
                                       - (y01 - y10) * (qx - x10))
-                            top_e = ((x00 - x01) * (qyf - y01)
-                                     - (y00 - y01) * (qx - x01))
+                            # vertically adjacent rows share the horizontal
+                            # edge: this row's top = -(previous bottom),
+                            # carried (round 5; exact negation, same
+                            # watertightness argument as _exact_cells)
+                            top_e = tops[f]
                             bottom_e = ((x11 - x10) * (qyf - y10)
                                         - (y11 - y10) * (qx - x10))
+                            new_tops.append(-bottom_e)
                             if config.edge_cull_threshold is not None:
                                 zms = (zm_fx(x00, y00, z00, iwt[f]),
                                        zm_fx(x10, y10, z10, iwb[f]),
@@ -1823,11 +1842,20 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                                 cull_thresh=config.edge_cull_threshold,
                                 zms=zms)
                         gtop = gbot
-                    return b_acc, gtop
+                        iwt = tuple(iwb)
+                        tops = tuple(new_tops)
+                    return b_acc, gtop, iwt, tops
 
                 gtop0 = grow_all(load_parts(rb0), 0)
-                best_out, _ = jax.lax.fori_loop(rb0, rb1, fix_block,
-                                                (best_in, gtop0))
+                iwt0 = tuple(invw_fx(x0, y0, z0) for x0, y0, z0 in gtop0)
+                tops0 = tuple(
+                    (gtop0[f][0] - gtop0[f + 1][0])
+                    * (qyf - gtop0[f + 1][1])
+                    - (gtop0[f][1] - gtop0[f + 1][1])
+                    * (qx - gtop0[f + 1][0])
+                    for f in range(NF - 1))
+                best_out, _, _, _ = jax.lax.fori_loop(
+                    rb0, rb1, fix_block, (best_in, gtop0, iwt0, tops0))
                 return best_out
 
             for h1_s, m1_s in fix_slots:
@@ -3006,14 +3034,27 @@ def _patch_cfg2(config: ScanConfig, n_r, n_c, width, height):
     sparse, so sr=12/off=5/uncapped realign/hyps=2 cost little) with the
     rotated-footprint texture window (see render_frames_scan_quality).
 
+    Round 5: when pass 1 carries colfix, the transposed pass takes CHEAP
+    strip knobs + colfix=3 of its own instead — colfix recovers the strip
+    misses exhaustively, so the expensive sr=12/hyps=2 capture buys nothing
+    (measured at 1080p/d10, `--patch --colfix 3`: 25.7 fps at 40.17/40.22 dB
+    GL masked with the quality knobs vs **26.6 fps at 40.24/40.80** with
+    sr=8/off=3/hyps=1/dmax=4/colfix=3 — faster AND higher-fidelity; this is
+    the shipped ``mid`` tier).
+
     ``DEPTHRENDERER_PATCH_CFG2`` (comma-separated ``k=v`` ScanConfig
     overrides, ints / 'none') re-knobs the pass for on-chip A/Bs — the
     round-5 mid-ladder tuning harness; the shipped defaults stay here."""
     import os
 
-    overrides = dict(sr=max(config.sr, 12), off=max(config.off, 5),
-                     dmax=None, hyps=2, nbr=max(config.nbr, 2),
-                     tex_rows=192, tex_cols=384)
+    if config.colfix is not None:
+        overrides = dict(sr=8, off=3, dmax=4, hyps=1,
+                         nbr=max(config.nbr, 2), colfix=3,
+                         tex_rows=192, tex_cols=384)
+    else:
+        overrides = dict(sr=max(config.sr, 12), off=max(config.off, 5),
+                         dmax=None, hyps=2, nbr=max(config.nbr, 2),
+                         tex_rows=192, tex_cols=384)
     env = os.environ.get("DEPTHRENDERER_PATCH_CFG2", "")
     for kv in (env.split(",") if env else []):
         k, v = kv.split("=")

@@ -114,6 +114,15 @@ def build_parser(prog="python -m depthrenderer_tpu.batch"):
     p.add_argument("--sharded", action="store_true",
                    help="Shard the models (scenes) over all available devices via "
                         "shard_map instead of rendering them sequentially.")
+    p.add_argument("--readback", choices=("auto", "rgba", "yuv420"),
+                   default="auto",
+                   help="--sharded frame readback format. yuv420 packs "
+                        "frames to planar YUV 4:2:0 ON DEVICE (1.5 B/px "
+                        "through the device->host link instead of 4 — the "
+                        "measured farm bottleneck) and MJPEG encodes the "
+                        "planes directly; PNG snapshot frames still read "
+                        "back as full RGBA. auto = yuv420 for MJPG video on "
+                        "TPU, rgba otherwise.")
     return p
 
 
@@ -352,8 +361,11 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
         frames_dir = os.path.join(args.output_path, "frames", model_name)
         os.makedirs(frames_dir, exist_ok=True)
         png_tasks.append(RecurringTask(
+            # ``frame`` may be a zero-arg callable (the YUV420 readback path
+            # passes a lazy device slice so only the due frames pull RGBA).
             lambda frame, idx, d=frames_dir: image_writer.write(
-                frame, os.path.join(d, f"{idx:06d}.png")),
+                frame() if callable(frame) else frame,
+                os.path.join(d, f"{idx:06d}.png")),
             frequency=png_every,
         ))
 
@@ -407,7 +419,35 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
     t0 = time.time()
     chunk = max(1, args.frame_batch)
 
-    def consume(start, stop, dev_frames):
+    # Round 5 (VERDICT r4 ask #6): device-side YUV420 readback. The farm is
+    # bound by pulling frames through the device->host link; packing to
+    # planar 4:2:0 on device (io.rgba_to_yuv420) moves 1.5 B/px instead of
+    # 4, and the MJPEG encoder consumes the planes directly
+    # (AviFile.write_yuv420). PNG snapshot frames (1/s) still read back as
+    # full RGBA — bit-identical PNGs — by slicing the retained device array.
+    yuv = args.readback == "yuv420" or (
+        args.readback == "auto" and args.codec == "MJPG"
+        and jax.devices()[0].platform == "tpu")
+    if yuv and args.codec != "MJPG":
+        raise SystemExit("--readback yuv420 requires the MJPG codec")
+
+    def consume(start, stop, dev_frames, dev_yuv):
+        if yuv:
+            packed = np.asarray(dev_yuv)  # (S, Tc, H*W*3/2)
+            cq = out_h * out_w // 4
+            for s in range(S):
+                for k in range(stop - start):
+                    p = packed[s, k]
+                    writers[s].write_yuv420(
+                        p[:out_h * out_w].reshape(out_h, out_w),
+                        p[out_h * out_w:out_h * out_w + cq].reshape(
+                            out_h // 2, out_w // 2),
+                        p[out_h * out_w + cq:].reshape(
+                            out_h // 2, out_w // 2))
+                    png_tasks[s](
+                        lambda s=s, k=k: np.asarray(dev_frames[s, k]),
+                        start + k)
+            return
         frames = np.asarray(dev_frames)  # (S, Tc, H, W, 4)
         for s in range(S):
             for k in range(stop - start):
@@ -427,9 +467,10 @@ def _render_sharded(args, models, colour, texture, camera, views, num_frames,
             device_mesh, mvps, vgrids, uvgrids, textures, out_w, out_h, config,
             frame_batch=stop - start, impl=impl, scan_config=scan_config,
         )  # async dispatch
+        dev_yuv = dio.rgba_to_yuv420(dev_frames) if yuv else None
         if pending is not None:
             consume(*pending)
-        pending = (start, stop, dev_frames)
+        pending = (start, stop, dev_frames, dev_yuv)
     if pending is not None:
         consume(*pending)
 

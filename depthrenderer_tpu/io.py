@@ -127,6 +127,77 @@ def to_uint8(frame):
 # -- frame-buffer conversion parity helpers (reference: utils.py:345-377) ----------
 
 
+def _yuv420_jit(h: int, w: int):
+    """Build (and cache) the jitted RGBA->planar-YUV420 pack for (h, w)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit)
+    def conv(frames):
+        f = frames[..., :3].astype(jnp.float32)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        # 2x2 box-filter the RGB quad, then convert — matches the native RGB
+        # encoder's chroma path (frameops.c jpeg_encode) bit-for-bit in
+        # intent (float order differs by rounding only).
+        lead = f.shape[:-3]
+        q = f.reshape(lead + (h // 2, 2, w // 2, 2, 3)).mean(axis=(-2, -4))
+        r4, g4, b4 = q[..., 0], q[..., 1], q[..., 2]
+        cb = 128.0 - 0.168736 * r4 - 0.331264 * g4 + 0.5 * b4
+        cr = 128.0 + 0.5 * r4 - 0.418688 * g4 - 0.081312 * b4
+        u8 = lambda x: jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
+        return jnp.concatenate(
+            [u8(y).reshape(lead + (h * w,)),
+             u8(cb).reshape(lead + (h * w // 4,)),
+             u8(cr).reshape(lead + (h * w // 4,))], axis=-1)
+
+    return conv
+
+
+_YUV420_CACHE: dict = {}
+
+
+def rgba_to_yuv420(frames):
+    """Device-side RGBA -> planar YUV 4:2:0 pack (JFIF full-range BT.601).
+
+    ``frames``: (..., H, W, C>=3) uint8 with even H, W. Returns
+    (..., H*W*3//2) uint8 — the Y plane, then the 2x2-box-filtered Cb and Cr
+    half-planes, the layout :func:`native.jpeg_encode_yuv420` and
+    :meth:`video.AviFile.write_yuv420` consume.
+
+    Why: MJPEG farms are bound by frame readback (device->host moves 4 B/px
+    for RGBA); JPEG throws the other 2.5 B/px away AFTER the transfer
+    anyway (4:2:0). Converting on device shrinks readback 2.67x and the
+    encoder skips its colour-convert/subsample stages (VERDICT r4 ask #6).
+    The reference farm has no counterpart (``render_many.py:27-97`` encodes
+    host-side from full RGB); this is a TPU-topology-specific stage.
+    """
+    h, w = int(frames.shape[-3]), int(frames.shape[-2])
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    key = (h, w)
+    if key not in _YUV420_CACHE:
+        _YUV420_CACHE[key] = _yuv420_jit(h, w)
+    return _YUV420_CACHE[key](frames)
+
+
+def yuv420_to_rgb(packed, h: int, w: int):
+    """Host-side inverse of :func:`rgba_to_yuv420` (numpy, for tests and the
+    no-native-encoder fallback): packed (H*W*3//2,) uint8 -> (H, W, 3) uint8."""
+    packed = np.asarray(packed, np.uint8)
+    y = packed[: h * w].reshape(h, w).astype(np.float32)
+    cq = h * w // 4
+    cb = packed[h * w : h * w + cq].reshape(h // 2, w // 2).astype(np.float32)
+    cr = packed[h * w + cq :].reshape(h // 2, w // 2).astype(np.float32)
+    cb = np.repeat(np.repeat(cb, 2, 0), 2, 1) - 128.0
+    cr = np.repeat(np.repeat(cr, 2, 0), 2, 1) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
 def read_frame_buffer(frame_buffer, size, mode="RGBA"):
     """Wrap raw frame-buffer bytes as a PIL image (reference: ``utils.py:345-355``)."""
     return Image.frombytes(mode, size, data=frame_buffer)

@@ -75,6 +75,11 @@ def _load():
     ]
     lib.jpeg_encode_bound.restype = ctypes.c_size_t
     lib.jpeg_encode_bound.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.jpeg_encode_yuv420.restype = ctypes.c_size_t
+    lib.jpeg_encode_yuv420.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
+    ]
     _lib = lib
     return _lib
 
@@ -123,6 +128,37 @@ def jpeg_encode(image, quality: int = 92) -> bytes:
                         quality, out, cap)
     if n == 0:
         raise RuntimeError("native jpeg_encode failed")
+    return out.raw[:n]
+
+
+def jpeg_encode_yuv420(y, cb, cr, quality: int = 92) -> bytes:
+    """Encode pre-converted planar YUV 4:2:0 as baseline JFIF JPEG bytes.
+
+    ``y`` is (H, W) uint8; ``cb``/``cr`` are (ceil(H/2), ceil(W/2)) uint8 —
+    JFIF full-range BT.601, as produced by the TPU-side
+    :func:`depthrenderer_tpu.io.rgba_to_yuv420`. Skips host colour
+    conversion and lets render farms pull 1.5 B/px through the
+    device->host link instead of 4 (the measured preset-5 bottleneck).
+    Raises RuntimeError if the native library is unavailable.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native frameops library unavailable")
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    cb = np.ascontiguousarray(cb, dtype=np.uint8)
+    cr = np.ascontiguousarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    assert cb.shape == cr.shape == ((h + 1) // 2, (w + 1) // 2), \
+        (y.shape, cb.shape, cr.shape)
+    cap = lib.jpeg_encode_bound(w, h)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.jpeg_encode_yuv420(
+        y.ctypes.data_as(ctypes.c_char_p), cb.ctypes.data_as(ctypes.c_char_p),
+        cr.ctypes.data_as(ctypes.c_char_p), w, h, quality, out, cap)
+    if n == 0:
+        raise RuntimeError("native jpeg_encode_yuv420 failed")
     return out.raw[:n]
 
 

@@ -327,19 +327,49 @@ static void put_marker_seg(bitw_t *b, uint8_t marker, const uint8_t *data,
     for (uint16_t i = 0; i < len; i++) bw_byte(b, data[i]);
 }
 
-/* Encode a top-down RGB(A) image as a baseline JFIF JPEG (4:2:0).
- * quality: 1..100 (libjpeg scaling). Returns bytes written, 0 on failure. */
-size_t jpeg_encode(const uint8_t *img, int32_t w, int32_t h, int32_t channels,
-                   int32_t quality, uint8_t *out, size_t out_cap) {
-    if ((channels != 3 && channels != 4) || w <= 0 || h <= 0) return 0;
-    if (quality < 1) quality = 1;
-    if (quality > 100) quality = 100;
+/* SOI + JFIF/DQT/SOF0/DHT/SOS headers shared by the two encode entries
+ * (4:2:0, 3 components, Annex K tables). */
+static void jpeg_write_headers(bitw_t *b, int32_t w, int32_t h,
+                               const uint8_t qt[2][64]) {
+    bw_byte(b, 0xFF); bw_byte(b, 0xD8); /* SOI */
+    static const uint8_t jfif[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0,
+                                     0, 1, 0, 1, 0, 0};
+    put_marker_seg(b, 0xE0, jfif, 14);
+    uint8_t dqt[65];
+    dqt[0] = 0;
+    for (int i = 0; i < 64; i++) dqt[1 + i] = qt[0][ZIGZAG[i]];
+    put_marker_seg(b, 0xDB, dqt, 65);
+    dqt[0] = 1;
+    for (int i = 0; i < 64; i++) dqt[1 + i] = qt[1][ZIGZAG[i]];
+    put_marker_seg(b, 0xDB, dqt, 65);
+    uint8_t sof[15] = {8,
+                       (uint8_t)(h >> 8), (uint8_t)h,
+                       (uint8_t)(w >> 8), (uint8_t)w,
+                       3,
+                       1, 0x22, 0,   /* Y: 2x2 sampling, qtbl 0 */
+                       2, 0x11, 1,   /* Cb */
+                       3, 0x11, 1};  /* Cr */
+    put_marker_seg(b, 0xC0, sof, 15);
+    uint8_t dht[1 + 16 + 162];
+    const struct { uint8_t cls_id; const uint8_t *bits, *vals; int n; } hts[4] =
+        {{0x00, DC_L_BITS, DC_L_VALS, 12}, {0x10, AC_L_BITS, AC_L_VALS, 162},
+         {0x01, DC_C_BITS, DC_C_VALS, 12}, {0x11, AC_C_BITS, AC_C_VALS, 162}};
+    for (int t = 0; t < 4; t++) {
+        dht[0] = hts[t].cls_id;
+        memcpy(dht + 1, hts[t].bits + 1, 16);
+        memcpy(dht + 17, hts[t].vals, hts[t].n);
+        put_marker_seg(b, 0xC4, dht, (uint16_t)(17 + hts[t].n));
+    }
+    static const uint8_t sos[10] = {3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0};
+    put_marker_seg(b, 0xDA, sos, 10);
+}
+
+/* Shared quant-table / reciprocal setup for the two encode entries. */
+static void jpeg_tables(int32_t quality, uint8_t qt[2][64], float rq[2][64]) {
     int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
     /* AAN per-coefficient scale factors (sqrt(2)*cos(u*pi/16) family). */
     static const double aan[8] = {1.0, 1.387039845, 1.306562965, 1.175875602,
                                   1.0, 0.785694958, 0.541196100, 0.275899379};
-    uint8_t qt[2][64];
-    float rq[2][64];
     for (int i = 0; i < 64; i++) {
         int ql = (QTBL_LUMA[i] * scale + 50) / 100;
         int qc = (QTBL_CHROMA[i] * scale + 50) / 100;
@@ -349,6 +379,18 @@ size_t jpeg_encode(const uint8_t *img, int32_t w, int32_t h, int32_t channels,
         rq[0][i] = (float)(1.0 / (qt[0][i] * s));
         rq[1][i] = (float)(1.0 / (qt[1][i] * s));
     }
+}
+
+/* Encode a top-down RGB(A) image as a baseline JFIF JPEG (4:2:0).
+ * quality: 1..100 (libjpeg scaling). Returns bytes written, 0 on failure. */
+size_t jpeg_encode(const uint8_t *img, int32_t w, int32_t h, int32_t channels,
+                   int32_t quality, uint8_t *out, size_t out_cap) {
+    if ((channels != 3 && channels != 4) || w <= 0 || h <= 0) return 0;
+    if (quality < 1) quality = 1;
+    if (quality > 100) quality = 100;
+    uint8_t qt[2][64];
+    float rq[2][64];
+    jpeg_tables(quality, qt, rq);
     huff_t hdcl, hdcc, hacl, hacc;
     huff_build(DC_L_BITS, DC_L_VALS, &hdcl);
     huff_build(DC_C_BITS, DC_C_VALS, &hdcc);
@@ -356,37 +398,7 @@ size_t jpeg_encode(const uint8_t *img, int32_t w, int32_t h, int32_t channels,
     huff_build(AC_C_BITS, AC_C_VALS, &hacc);
 
     bitw_t b = {out, out_cap, 0, 0, 0, 0};
-    bw_byte(&b, 0xFF); bw_byte(&b, 0xD8); /* SOI */
-    static const uint8_t jfif[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0,
-                                     0, 1, 0, 1, 0, 0};
-    put_marker_seg(&b, 0xE0, jfif, 14);
-    uint8_t dqt[65];
-    dqt[0] = 0;
-    for (int i = 0; i < 64; i++) dqt[1 + i] = qt[0][ZIGZAG[i]];
-    put_marker_seg(&b, 0xDB, dqt, 65);
-    dqt[0] = 1;
-    for (int i = 0; i < 64; i++) dqt[1 + i] = qt[1][ZIGZAG[i]];
-    put_marker_seg(&b, 0xDB, dqt, 65);
-    uint8_t sof[15] = {8,
-                       (uint8_t)(h >> 8), (uint8_t)h,
-                       (uint8_t)(w >> 8), (uint8_t)w,
-                       3,
-                       1, 0x22, 0,   /* Y: 2x2 sampling, qtbl 0 */
-                       2, 0x11, 1,   /* Cb */
-                       3, 0x11, 1};  /* Cr */
-    put_marker_seg(&b, 0xC0, sof, 15);
-    uint8_t dht[1 + 16 + 162];
-    const struct { uint8_t cls_id; const uint8_t *bits, *vals; int n; } hts[4] =
-        {{0x00, DC_L_BITS, DC_L_VALS, 12}, {0x10, AC_L_BITS, AC_L_VALS, 162},
-         {0x01, DC_C_BITS, DC_C_VALS, 12}, {0x11, AC_C_BITS, AC_C_VALS, 162}};
-    for (int t = 0; t < 4; t++) {
-        dht[0] = hts[t].cls_id;
-        memcpy(dht + 1, hts[t].bits + 1, 16);
-        memcpy(dht + 17, hts[t].vals, hts[t].n);
-        put_marker_seg(&b, 0xC4, dht, (uint16_t)(17 + hts[t].n));
-    }
-    static const uint8_t sos[10] = {3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0};
-    put_marker_seg(&b, 0xDA, sos, 10);
+    jpeg_write_headers(&b, w, h, qt);
 
     /* MCU loop: 16x16 pixels -> 4 Y blocks + subsampled Cb + Cr. */
     int dcy = 0, dcb = 0, dcr = 0;
@@ -444,6 +456,74 @@ size_t jpeg_encode(const uint8_t *img, int32_t w, int32_t h, int32_t channels,
                     blk[yy * 8 + xx] = CR[yy][xx];
             fdct_quant(blk, rq[1], z);
             encode_block(&b, z, &dcr, &hdcc, &hacc);
+        }
+    }
+    bw_flush(&b);
+    bw_byte(&b, 0xFF); bw_byte(&b, 0xD9); /* EOI */
+    return b.overflow ? 0 : b.off;
+}
+
+/* Encode pre-converted planar YUV 4:2:0 as baseline JFIF (round 5).
+ *
+ * y: (h, w); cb/cr: ((h+1)/2, (w+1)/2) — JFIF full-range BT.601, exactly
+ * what the TPU-side `rgba_to_yuv420` emits. Skips the colour-convert +
+ * subsample work of `jpeg_encode` AND lets the render farm pull 1.5 B/px
+ * through the device->host tunnel instead of 4 (the measured preset-5
+ * bottleneck; VERDICT r4 ask #6). Returns bytes written, 0 on failure. */
+size_t jpeg_encode_yuv420(const uint8_t *yp, const uint8_t *cbp,
+                          const uint8_t *crp, int32_t w, int32_t h,
+                          int32_t quality, uint8_t *out, size_t out_cap) {
+    if (w <= 0 || h <= 0) return 0;
+    if (quality < 1) quality = 1;
+    if (quality > 100) quality = 100;
+    uint8_t qt[2][64];
+    float rq[2][64];
+    jpeg_tables(quality, qt, rq);
+    huff_t hdcl, hdcc, hacl, hacc;
+    huff_build(DC_L_BITS, DC_L_VALS, &hdcl);
+    huff_build(DC_C_BITS, DC_C_VALS, &hdcc);
+    huff_build(AC_L_BITS, AC_L_VALS, &hacl);
+    huff_build(AC_C_BITS, AC_C_VALS, &hacc);
+
+    bitw_t b = {out, out_cap, 0, 0, 0, 0};
+    jpeg_write_headers(&b, w, h, qt);
+
+    const int32_t cw = (w + 1) / 2, ch = (h + 1) / 2;
+    int dcy = 0, dcb = 0, dcr = 0;
+    float blk[64];
+    int16_t z[64];
+    for (int32_t my = 0; my < h; my += 16) {
+        for (int32_t mx = 0; mx < w; mx += 16) {
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++) {
+                    for (int yy = 0; yy < 8; yy++) {
+                        int32_t sy = my + by * 8 + yy;
+                        if (sy >= h) sy = h - 1;
+                        const uint8_t *row = yp + (size_t)sy * w;
+                        for (int xx = 0; xx < 8; xx++) {
+                            int32_t sx = mx + bx * 8 + xx;
+                            if (sx >= w) sx = w - 1;
+                            blk[yy * 8 + xx] = (float)row[sx] - 128.f;
+                        }
+                    }
+                    fdct_quant(blk, rq[0], z);
+                    encode_block(&b, z, &dcy, &hdcl, &hacl);
+                }
+            for (int c = 0; c < 2; c++) {
+                const uint8_t *plane = c ? crp : cbp;
+                for (int yy = 0; yy < 8; yy++) {
+                    int32_t sy = my / 2 + yy;
+                    if (sy >= ch) sy = ch - 1;
+                    const uint8_t *row = plane + (size_t)sy * cw;
+                    for (int xx = 0; xx < 8; xx++) {
+                        int32_t sx = mx / 2 + xx;
+                        if (sx >= cw) sx = cw - 1;
+                        blk[yy * 8 + xx] = (float)row[sx] - 128.f;
+                    }
+                }
+                fdct_quant(blk, rq[1], z);
+                encode_block(&b, z, c ? &dcr : &dcb, &hdcc, &hacc);
+            }
         }
     }
     bw_flush(&b);

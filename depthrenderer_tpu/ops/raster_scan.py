@@ -1673,7 +1673,6 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
             # test-gated: only ADDS true covering cells. Corner 1/w and
             # u/v are analytic (same forms as _exact_cells).
             K = config.colfix
-            NF = 2 * K + 2           # fan corner columns
             nsub = CWF // 128
             NS2 = min(nsub, 2)       # gathered subtables (dynamic base)
             sxw_f = 2.0 / width
@@ -1691,7 +1690,17 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 den = jnp.where(jnp.abs(iw_) > 1e-30, iw_, 1.0)
                 return num / den
 
-            def fix_slot(best_in, h1f, m1v):
+            def fix_slot(best_in, h1f, m1v, offs):
+                # ``offs``: the fan's corner-column offsets from the top-1
+                # column (ascending ints, gaps allowed). Cells exist between
+                # CONSECUTIVE offsets only — the round-5 cascade runs the
+                # inner (-1..2) fan first and the outer corners in a second
+                # gated call on blocks the inner fan left holed, saving the
+                # wide-fan work where +-1 suffices (~86% of holes,
+                # experiments/colfix_replay.py).
+                NFo = len(offs)
+                cells = [f for f in range(NFo - 1)
+                         if offs[f + 1] == offs[f] + 1]
                 hitok = m1v < jnp.float32(_FAR * 0.5)
                 j0 = (jnp.clip(h1f, 0.0, jnp.float32(MW - 1))
                       .astype(jnp.int32) + off_f)
@@ -1702,7 +1711,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 # columns (extreme folds), never false coverage.
                 jmin = jnp.min(jnp.where(hitok, j0, jnp.int32(CWF)))
                 base = jnp.clip(jmin >> 7, 0, max(nsub - NS2, 0))
-                idxs = [j0 + (cc - K) for cc in range(NF)]
+                idxs = [j0 + o for o in offs]
                 # window-local fan indices, precomputed ONCE per slot
                 idls = [jnp.clip(ix - base * 128, 0, NS2 * 128 - 1)
                         for ix in idxs]
@@ -1732,7 +1741,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 use_t = []
                 for tt in range(NS2):
                     u = jnp.zeros((8, 128), jnp.bool_)
-                    for cc in range(NF):
+                    for cc in range(NFo):
                         in_tt = hi1[cc] if tt == 1 else jnp.logical_not(
                             hi1[cc])
                         u = u | (colok[cc] & in_tt)
@@ -1752,12 +1761,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
 
                 def grow_all(parts, j):
                     # broadcasts hoisted per (row, channel, subtable): the
-                    # NF fan gathers share them
+                    # fan gathers share them
                     rows = [[jnp.broadcast_to(parts[v][tt][j : j + 1],
                                               (8, 128))
                              for tt in range(NS2)] for v in range(3)]
                     out = []
-                    for cc in range(NF):
+                    for cc in range(NFo):
                         vals = []
                         for v in range(3):
                             g = jnp.take_along_axis(rows[v][0], id0[cc],
@@ -1796,14 +1805,14 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                         # (round 5; bit-exact, same expression).
                         lines = []
                         iwb = []
-                        for cc in range(NF):
+                        for cc in range(NFo):
                             x0, y0, z0 = gtop[cc]
                             x1, y1, z1 = gbot[cc]
                             lines.append((x1 - x0) * (qyf - y0)
                                          - (y1 - y0) * (qx - x0))
                             iwb.append(invw_fx(x1, y1, z1))
                         new_tops = []
-                        for f in range(NF - 1):
+                        for ci, f in enumerate(cells):
                             x00, y00, z00 = gtop[f]
                             x10, y10, z10 = gbot[f]
                             x01, y01, z01 = gtop[f + 1]
@@ -1821,7 +1830,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                             # edge: this row's top = -(previous bottom),
                             # carried (round 5; exact negation, same
                             # watertightness argument as _exact_cells)
-                            top_e = tops[f]
+                            top_e = tops[ci]
                             bottom_e = ((x11 - x10) * (qyf - y10)
                                         - (y11 - y10) * (qx - x10))
                             new_tops.append(-bottom_e)
@@ -1853,11 +1862,19 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     * (qyf - gtop0[f + 1][1])
                     - (gtop0[f][1] - gtop0[f + 1][1])
                     * (qx - gtop0[f + 1][0])
-                    for f in range(NF - 1))
+                    for f in cells)
                 best_out, _, _, _ = jax.lax.fori_loop(
                     rb0, rb1, fix_block, (best_in, gtop0, iwt0, tops0))
                 return best_out
 
+            # Round-5 cascade: at K >= 2 the inner (+-1-cell) fan runs
+            # first; the outer cells run in a SECOND gated call only on
+            # blocks the inner fan left uncovered-but-bracketed (the inner
+            # fan closes ~86% of holes — colfix_replay.py — so ~2/3 of
+            # fired blocks skip the wide-fan work). Coverage is the same
+            # cell union as the single wide fan; winner differences are
+            # limited to the near-tie class block gating already admits.
+            inner = tuple(range(-min(K, 1), min(K, 1) + 2))
             for h1_s, m1_s in fix_slots:
                 uncov_fx = best[2] >= jnp.float32(1.0e30)  # id sentinel
                 go_fx = jnp.max(jnp.where(
@@ -1865,8 +1882,21 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     1.0, 0.0)) > 0.5
                 best = jax.lax.cond(
                     go_fx,
-                    functools.partial(fix_slot, h1f=h1_s, m1v=m1_s),
+                    functools.partial(fix_slot, h1f=h1_s, m1v=m1_s,
+                                      offs=inner),
                     lambda b: b, best)
+            if K >= 2:
+                outer = tuple(range(-K, 0)) + tuple(range(2, K + 2))
+                for h1_s, m1_s in fix_slots:
+                    uncov_fx = best[2] >= jnp.float32(1.0e30)
+                    go_fx = jnp.max(jnp.where(
+                        uncov_fx & (m1_s < jnp.float32(_FAR * 0.5)),
+                        1.0, 0.0)) > 0.5
+                    best = jax.lax.cond(
+                        go_fx,
+                        functools.partial(fix_slot, h1f=h1_s, m1v=m1_s,
+                                          offs=outer),
+                        lambda b: b, best)
 
         bzn, bar, bid, uw, vw, iw, bml = best
         # ONE divide per block resolves the deferred (znum, area) carry
@@ -3013,18 +3043,32 @@ def _apply_patch_gates(bounds, mid, canch, blkflag, cwf: int, cl: int):
     fetch window can read get zeroed bounds (kb = ke = 0: the empty-chunk
     fast path), killing most of the solve/capture cost in sparsely-flagged
     bands. Both gates are exact for the flagged blocks: a block's march and
-    record-fetch windows live inside [canch_f*128, canch_f*128 + cwf).
+    record-fetch windows live inside [canch_f*128, canch_f*128 + cwf), and
+    a NARROW-march block (``mid >= 0``, round 5) reads only the chunks at
+    its prep-centered 128-column window — marched columns live in two
+    128-subtables starting at b0 = canch_f + (mid*8 + off_f) // 128, and
+    the fetch/colfix dynamic base can slide one subtable up, so marking
+    [b0, b0+3) keeps every possible read real: bit-identical output to the
+    wide marking, fewer live chunks (at cw=384 the wide window marked 4+
+    chunks per flagged block, re-densifying the solve at d10's 57-90%
+    narrow eligibility).
     """
     T, nbands2, nblocks2 = blkflag.shape
+    mid_g = mid.reshape(T, nbands2, nblocks2)
     mid2 = jnp.where(blkflag.reshape(T, -1), mid, jnp.int32(-2))
     canch_f = (canch * 8) // 128                      # (T, nblocks2)
+    off_f = canch * 8 - canch_f * 128                 # march->fetch col shift
     nch = cl // 128
     ch_i = jnp.arange(nch, dtype=jnp.int32)[None, None, None, :]
-    lo = canch_f[:, None, :, None]                    # (T, 1, nblocks2, 1)
-    hi = lo + (cwf // 128 + 1)                        # +1: dynamic-base slack
-    needed = jnp.any(
-        (ch_i >= lo) & (ch_i < hi) & blkflag[:, :, :, None], axis=2
-    )                                                 # (T, nbands2, nch)
+    narrow = blkflag & (mid_g >= 0)
+    b0 = (canch_f[:, None, :]
+          + (jnp.maximum(mid_g, 0) * 8 + off_f[:, None, :]) // 128)
+    lo_w = canch_f[:, None, :]                        # (T, 1, nblocks2)
+    lo = jnp.where(narrow, b0, lo_w)[..., None]
+    hi = jnp.where(narrow, b0 + 3,
+                   lo_w + (cwf // 128 + 1))[..., None]  # +1: dyn-base slack
+    act = (blkflag & (mid_g != -2))[:, :, :, None]
+    needed = jnp.any((ch_i >= lo) & (ch_i < hi) & act, axis=2)
     bounds2 = jnp.where(needed.reshape(T, -1), bounds, jnp.int32(0))
     return bounds2, mid2
 

@@ -497,7 +497,40 @@ class AviFile:
     def write(self, frame):
         """Append one top-down RGB(A) uint8 frame."""
         assert not self._closed, "AviFile already closed."
-        payload = self._encode(frame)
+        self._append_chunk(self._encode(frame))
+
+    def write_yuv420(self, y, cb, cr):
+        """Append one frame given as planar YUV 4:2:0 (MJPG only).
+
+        ``y``: (H, W) uint8; ``cb``/``cr``: (H/2, W/2) uint8 — the layout
+        :func:`depthrenderer_tpu.io.rgba_to_yuv420` packs on device. The
+        native encoder consumes the planes directly (no host colour
+        conversion); without the native library the chroma is upsampled and
+        the Pillow RGB path used (same visual content, slower).
+        """
+        assert not self._closed, "AviFile already closed."
+        assert self.codec == "MJPG", "write_yuv420 requires the MJPG codec"
+        y = np.asarray(y, np.uint8)
+        if y.shape != (self.height, self.width):
+            raise ValueError(
+                f"Y plane {y.shape[1]}x{y.shape[0]} != "
+                f"{self.width}x{self.height}")
+        from . import native
+
+        if native.available():
+            payload = native.jpeg_encode_yuv420(y, cb, cr,
+                                                quality=self.quality)
+        else:
+            from .io import yuv420_to_rgb
+
+            packed = np.concatenate([y.reshape(-1),
+                                     np.asarray(cb, np.uint8).reshape(-1),
+                                     np.asarray(cr, np.uint8).reshape(-1)])
+            payload = _encode_jpeg(
+                yuv420_to_rgb(packed, self.height, self.width), self.quality)
+        self._append_chunk(payload)
+
+    def _append_chunk(self, payload: bytes):
         chunk_id = b"00db" if self.codec == "DIB " else b"00dc"
         offset = self._f.tell() - self._movi_start
         self._f.write(chunk_id + struct.pack("<I", len(payload)) + payload)

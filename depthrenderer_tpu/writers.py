@@ -96,6 +96,10 @@ class VideoWriter:
     def write(self, frame):
         self.writer.write(_to_host_uint8(frame))
 
+    def write_yuv420(self, y, cb, cr):
+        """Append a frame given as planar YUV 4:2:0 (see AviFile.write_yuv420)."""
+        self.writer.write_yuv420(y, cb, cr)
+
     def cleanup(self):
         if self.writer:
             self.writer.close()
@@ -133,7 +137,10 @@ class AsyncVideoWriter(VideoWriter):
             if frame is None:
                 return
             try:
-                self.writer.write(frame)
+                if isinstance(frame, tuple) and frame[0] == "yuv420":
+                    self.writer.write_yuv420(*frame[1:])
+                else:
+                    self.writer.write(frame)
             except Exception as e:  # surfaced on cleanup
                 self._error = e
 
@@ -141,6 +148,13 @@ class AsyncVideoWriter(VideoWriter):
         if self._error:
             raise self._error
         self._queue.put(_to_host_uint8(frame).copy())
+
+    def write_yuv420(self, y, cb, cr):
+        if self._error:
+            raise self._error
+        self._queue.put(("yuv420", np.asarray(y, np.uint8).copy(),
+                         np.asarray(cb, np.uint8).copy(),
+                         np.asarray(cr, np.uint8).copy()))
 
     def cleanup(self):
         self._queue.put(None)

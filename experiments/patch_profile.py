@@ -46,8 +46,11 @@ if os.environ.get("PATCH_PROFILE_FRONTAL"):
     mvps = np.repeat((proj @ cam).astype(np.float32)[None], T, axis=0)
     print("== FRONTAL view group ==")
 
-cfg1 = raster_scan.suggest_scan_config(n, W, H)
+_cfx = os.environ.get("PATCH_PROFILE_COLFIX")
+cfg1 = raster_scan.suggest_scan_config(
+    n, W, H, **({"colfix": int(_cfx)} if _cfx else {}))
 cfg1 = __import__("dataclasses").replace(cfg1, patch=False)
+print("cfg1:", cfg1)
 cfg2 = raster_scan._patch_cfg2(cfg1, n, n, W, H)
 print("cfg2:", cfg2)
 

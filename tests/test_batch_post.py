@@ -177,3 +177,55 @@ def test_batch_cli_sharded(tmp_path):
         _, _, frames, _ = video.read_avi_info(v)
         assert frames == 6
     assert (out / "paired" / "scene" / "ground_truth-modelA.avi").exists()
+
+
+@pytest.mark.slow
+def test_batch_cli_sharded_yuv420(tmp_path):
+    # --sharded with the round-5 device-side YUV420 readback: the MJPEG
+    # containers must hold decodable frames and the PNG snapshots stay RGBA.
+    rng = np.random.default_rng(0)
+    colour = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    img_path = tmp_path / "scene.png"
+    save_image(colour, img_path)
+    for model in ("ground_truth", "modelA"):
+        d = tmp_path / "depths" / model
+        os.makedirs(d)
+        save_image(rng.integers(0, 256, (48, 64), dtype=np.uint8),
+                   d / "scene.png")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DEPTHRENDERER_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, "-m", "depthrenderer_tpu.batch",
+         str(img_path), str(tmp_path / "depths"),
+         "-mesh-density", "3", "-fps", "8", "--frames", "6",
+         "--width", "64", "--height", "48", "--sharded",
+         "--readback", "yuv420", "--no-post",
+         "-output-path", str(out)],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import io as _io
+    import struct
+
+    from PIL import Image
+
+    for model in ("ground_truth", "modelA"):
+        v = out / "single_videos" / "scene" / f"{model}.avi"
+        assert v.exists()
+        _, _, frames, _ = video.read_avi_info(v)
+        assert frames == 6
+        data = v.read_bytes()
+        i = data.find(b"00dc")
+        size = struct.unpack("<I", data[i + 4:i + 8])[0]
+        img = Image.open(_io.BytesIO(data[i + 8:i + 8 + size]))
+        assert img.size == (64, 48)
+        png = out / "frames" / model / "000000.png"
+        assert png.exists()
+        assert np.asarray(Image.open(png)).shape[:2] == (48, 64)

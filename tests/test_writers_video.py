@@ -249,3 +249,50 @@ def test_remux_avi_dib_to_mp4(tmp_path):
     back = video.read_mp4_frames(mp4)
     assert len(back) == n and back[0].shape == (h, w, 3)
     assert abs(int(back[1][..., 0].mean()) - 37) < 10
+
+
+def test_yuv420_pack_and_native_encoder(tmp_path):
+    """Device-side YUV420 pack -> native planar encoder -> decodable AVI at
+    RGB-path-equivalent quality (the round-5 farm readback format: 1.5 B/px
+    through the d->h link instead of 4; VERDICT r4 ask #6)."""
+    from depthrenderer_tpu import io as dio, native
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (128 + 100 * np.sin(xx / 9.0)).astype(np.uint8),
+        (128 + 100 * np.cos(yy / 7.0)).astype(np.uint8),
+        ((xx + yy) * 255 // (w + h)).astype(np.uint8),
+        np.full((h, w), 255, np.uint8),
+    ], axis=-1)
+    packed = np.asarray(dio.rgba_to_yuv420(img))
+    assert packed.shape == (h * w * 3 // 2,) and packed.dtype == np.uint8
+    # The pack's own information loss is chroma subsampling only.
+    up = dio.yuv420_to_rgb(packed, h, w)
+    mse = ((up.astype(int) - img[..., :3].astype(int)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 30.0
+
+    cq = h * w // 4
+    y = packed[:h * w].reshape(h, w)
+    cb = packed[h * w:h * w + cq].reshape(h // 2, w // 2)
+    cr = packed[h * w + cq:].reshape(h // 2, w // 2)
+
+    path = tmp_path / "yuv.avi"
+    vw = AsyncVideoWriter(path, (w, h), fps=10, codec="MJPG")
+    for _ in range(3):
+        vw.write_yuv420(y, cb, cr)
+    vw.cleanup()
+    _, _, frames, _ = video.read_avi_info(path)
+    assert frames == 3
+
+    if native.available():
+        # Planar encode must agree with the RGB-input encoder (same tables,
+        # same subsampling; only float rounding in the colour path differs).
+        jb_yuv = native.jpeg_encode_yuv420(y, cb, cr, quality=92)
+        jb_rgb = native.jpeg_encode(img[..., :3], quality=92)
+        import io as _io
+
+        d_yuv = np.asarray(Image.open(_io.BytesIO(jb_yuv)).convert("RGB"))
+        d_rgb = np.asarray(Image.open(_io.BytesIO(jb_rgb)).convert("RGB"))
+        mse = ((d_yuv.astype(int) - d_rgb.astype(int)) ** 2).mean()
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 40.0

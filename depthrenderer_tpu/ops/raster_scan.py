@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -229,12 +230,13 @@ class ScanConfig:
             "column ids are exact only up to 256; hyps=2 needs the dense " \
             "sweep's counts and second-minimum)"
         assert self.colfix is None or (
-            not self.big_grid and not self.mxu_march
-            and 0 <= self.colfix <= 3 and self.cw <= 384), \
-            "colfix is standard-variant, cw <= 384 (the march must run the " \
-            "narrow/wide _sweep, MW//128 < 4, to thread the fixup's h1/m1 " \
-            "out), fan K in [0, 3], and not combinable with mxu_march (the " \
-            "fixup flags real-bracket pixels off the dense sweep's min key)"
+            not self.mxu_march and 0 <= self.colfix <= 3), \
+            "colfix fan K in [0, 3]; not combinable with mxu_march (the " \
+            "fixup flags real-bracket pixels off the dense sweep's min " \
+            "key). The march-structure requirement (standard cw <= 384 or " \
+            "big_grid, so h1/m1 thread out of the sweep) is checked at " \
+            "kernel-build time — suggest_scan_config's intermediate " \
+            "standard config may carry a wide cw before the big_grid switch"
 
     @property
     def nrec(self) -> int:
@@ -406,10 +408,14 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
             dual_col=cfg.dual_col if dual_explicit else False,
             row_edge=cfg.row_edge if rowe_explicit else False,
             patch=False,  # sparse patch is standard-variant only
-            colfix=cfg.colfix if colfix_explicit else None,
-            # the colfix-shrunken strips (sr=6/off=2/dmax=4) are only
-            # fidelity-neutral WITH the fixup recovering the misses — the
-            # big_grid variant has no colfix, so revert to the round-3 knobs
+            # round 5: colfix carries over to big_grid unchanged (fan
+            # windows DMA'd from HBM); it is the preset-4 fidelity fix (the
+            # d12 hole classes — march-rank 34% + strip-window 25% +
+            # realign-cap 13% + slot overflow 11%, experiments/
+            # p4_classify.py — all die in the exhaustive fan).
+            # big_grid keeps the round-3 strip knobs: at ~0.5-px cells the
+            # strips are the only capture and the colfix fan supplements
+            # rather than replaces them.
             sr=cfg.sr if (strips_explicit["sr"] or quality) else 10,
             off=cfg.off if (strips_explicit["off"] or quality) else 4,
             dmax=cfg.dmax if (strips_explicit["dmax"] or quality) else 5,
@@ -783,6 +789,12 @@ _prep_scan = jax.jit(
 # removes is outweighed by the doubled live window scratch shrinking Mosaic's
 # DMA/compute overlap. Kept at 1; see ROADMAP "Measured dead ends".
 _BANDS_PER_STEP = 1
+# Bands per grid step for the SPARSE patch pass only (round 5): the dense
+# pass measured slower at 2 bands/step (ROADMAP "Measured dead ends"), but
+# the sparse pass-2's unflagged steps cost pure pipeline overhead (~8-12 us
+# x 240 transposed bands at 1080p), so folding bands per step attacks the
+# zero-flag floor directly. Env override for the mid-ladder A/B harness.
+_PATCH_BANDS_PER_STEP = int(os.environ.get("DEPTHRENDERER_PATCH_BPS", "1"))
 
 
 def _scan_kernel_steps(*args, bands_per_step: int = 1, **kwargs):
@@ -813,6 +825,12 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
     else:
         bflag_ref = None
         win_hbm, tex_hbm, *refs = refs
+    cfx_ref = None
+    if config.big_grid and config.colfix is not None:
+        # round-5 big_grid colfix: the fan-window scratch (appended last in
+        # scratch_shapes) — the per-chunk solve scratch is stale by march
+        # time, so the fixup DMAs its two fan subtables fresh from HBM.
+        *refs, cfx_ref = refs
     curve_ref = None
     outz_ref = None
     if mode == "texture_z":  # rgba + raster-z outputs (quality-merge path)
@@ -1215,8 +1233,14 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                and MW <= 256 and MW // 128 < 4)
     # Column-exhaustive hole fill (round 4, ScanConfig.colfix): threaded
     # through the march as (h1, m1) per slot; runs after the slot loop.
-    colfix_run = (config.colfix is not None and not config.big_grid
-                  and MW // 128 < 4 and phases == "all")
+    colfix_run = (config.colfix is not None
+                  and (config.big_grid or MW // 128 < 4)
+                  and phases == "all")
+    if config.colfix is not None and phases == "all" and not colfix_run:
+        raise ValueError(
+            f"colfix={config.colfix} configured but the chunked march "
+            f"(standard variant, MW={MW}) cannot thread the fixup's h1/m1 "
+            f"out — use cw <= 384 or the big_grid variant")
     if use_mxu:
         def _mxu_lhs(L):
             ii = jax.lax.broadcasted_iota(jnp.int32, (16, 8 * L), 1)
@@ -1645,10 +1669,15 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                     m1_acc, o1_acc, cnt_acc = jax.lax.cond(
                         gate, chunk_body, lambda c: c,
                         (m1_acc, o1_acc, cnt_acc))
-                # o1_acc holds global window columns already
-                return _march_tail(
+                # o1_acc holds global window columns already; the chunked
+                # march threads (h1, m1) for colfix exactly like the dense
+                # sweep (round 5: the accumulated column-of-min and min key
+                # ARE the sweep's outputs, so the fixup composes unchanged —
+                # this is the big_grid d12 path, MW = 1024).
+                ret = _march_tail(
                     best_in, s, o1_acc,
                     cnt_acc if config.hyps == 2 else None)
+                return (ret, o1_acc, m1_acc) if colfix_run else ret
 
             if colfix_run:
                 best, h1_s, m1_s = jax.lax.cond(
@@ -1725,12 +1754,6 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 cgs = [(canch_f * 128 + jnp.clip(ix, 0, CWF - 1))
                        .astype(jnp.float32) for ix in idxs]
 
-                def load_parts(b):
-                    """[v][tt] -> (8, 128) window rows 8b..8b+7 at the
-                    dynamically-based (128-aligned) fan subtable tt."""
-                    return [[load_block(v, b, canch_f + base + tt)
-                             for tt in range(NS2)] for v in range(3)]
-
                 # union row bounds over ONLY the subtables the fan's valid
                 # corners actually land in (round 5: the 4-8-column fan
                 # rarely straddles a 128-lane boundary, and the unused
@@ -1746,18 +1769,86 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                             hi1[cc])
                         u = u | (colok[cc] & in_tt)
                     use_t.append(jnp.any(u))
-                kb_u = jnp.int32(config.rmax)
-                ke_u = jnp.int32(0)
-                for tt in range(NS2):
-                    bnd_t = bounds_ref[t, i * nchunks + canch_f + base + tt]
-                    kbt = bnd_t & 0xFFF
-                    ket = (bnd_t >> 12) & 0xFFF
-                    ne_t = (ket > kbt) & use_t[tt]
-                    kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
-                    ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
-                rb0 = jnp.minimum(kb_u // 8, nrow_blocks - 1)
-                rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom
-                # corners reach row ke_u, which may start the next block
+                if config.big_grid:
+                    # round-5 big_grid port: bounds pack w0c (10 bits, 8-row
+                    # units) | kb (9) | ke (9) with kb/ke CHUNK-window-
+                    # relative; rows here are GLOBAL grid rows (records and
+                    # w0f = 0 already are in this variant). The two fan
+                    # subtables generally have different window origins, so
+                    # carry per-subtable global ranges for the row masks.
+                    kbg, keg = [], []
+                    kb_u = jnp.int32(1 << 20)
+                    ke_u = jnp.int32(0)
+                    for tt in range(NS2):
+                        bnd_t = bounds_ref[t,
+                                           i * nchunks + canch_f + base + tt]
+                        w0c_t = (bnd_t & 0x3FF) * 8
+                        kbt = w0c_t + ((bnd_t >> 10) & 0x1FF)
+                        ket = w0c_t + ((bnd_t >> 19) & 0x1FF)
+                        ne_t = (ket > kbt) & use_t[tt]
+                        kbg.append(jnp.where(ne_t, kbt, jnp.int32(1 << 20)))
+                        keg.append(jnp.where(ne_t, ket, jnp.int32(0)))
+                        kb_u = jnp.minimum(kb_u, kbg[tt])
+                        ke_u = jnp.maximum(ke_u, keg[tt])
+                    # One rmax-row window per fan subtable, DMA'd fresh from
+                    # HBM at a SHARED 8-aligned global origin (the per-chunk
+                    # solve scratch holds only the last chunk by march
+                    # time). Rows past g0 + rmax (distant-fold spans) are
+                    # masked off below — a bounded missed-recovery class,
+                    # never wrong data.
+                    rpad_w = win_hbm.shape[2]
+                    # clip in 8-row TILE units, then multiply: Mosaic must
+                    # PROVE the DMA row offset divisible by 8, and a clip
+                    # wrapped around the multiply hides the factorisation
+                    # ("Failed to prove that a tile index ... is divisible")
+                    g08 = jnp.clip(kb_u // 8, 0,
+                                   max((rpad_w - config.rmax) // 8, 0))
+                    g0 = g08 * 8
+                    cpys = [pltpu.make_async_copy(
+                        win_hbm.at[t, :, pl.ds(g0, config.rmax),
+                                   pl.ds((canch_f + base + tt) * 128, 128)],
+                        cfx_ref.at[tt], sem.at[tt]) for tt in range(NS2)]
+                    for c_ in cpys:
+                        c_.start()
+                    for c_ in cpys:
+                        c_.wait()
+                    rb0 = jnp.maximum(kb_u // 8, g08)
+                    rb1 = jnp.minimum(
+                        jnp.minimum((ke_u + 8) // 8,
+                                    g08 + config.rmax // 8),
+                        rpad_w // 8)
+                    rb1 = jnp.maximum(rb1, rb0)  # empty range -> no trips
+                    nrow_cap = g08 + config.rmax // 8
+
+                    def load_parts(b):
+                        """[v][tt] -> (8, 128) global rows 8b..8b+7 from
+                        the DMA'd fan-subtable windows."""
+                        lb = jnp.clip(b - g08, 0, config.rmax // 8 - 1)
+                        return [[cfx_ref[tt, v, pl.ds(lb * 8, 8), :]
+                                 .reshape(8, 128)
+                                 for tt in range(NS2)] for v in range(3)]
+                else:
+                    kbg = keg = None
+                    kb_u = jnp.int32(config.rmax)
+                    ke_u = jnp.int32(0)
+                    for tt in range(NS2):
+                        bnd_t = bounds_ref[t,
+                                           i * nchunks + canch_f + base + tt]
+                        kbt = bnd_t & 0xFFF
+                        ket = (bnd_t >> 12) & 0xFFF
+                        ne_t = (ket > kbt) & use_t[tt]
+                        kb_u = jnp.where(ne_t, jnp.minimum(kb_u, kbt), kb_u)
+                        ke_u = jnp.where(ne_t, jnp.maximum(ke_u, ket), ke_u)
+                    rb0 = jnp.minimum(kb_u // 8, nrow_blocks - 1)
+                    rb1 = jnp.minimum((ke_u + 8) // 8, nrow_blocks)  # bottom
+                    # corners reach row ke_u, which may start the next block
+                    nrow_cap = jnp.int32(nrow_blocks)
+
+                    def load_parts(b):
+                        """[v][tt] -> (8, 128) window rows 8b..8b+7 at the
+                        dynamically-based (128-aligned) fan subtable tt."""
+                        return [[load_block(v, b, canch_f + base + tt)
+                                 for tt in range(NS2)] for v in range(3)]
 
                 def grow_all(parts, j):
                     # broadcasts hoisted per (row, channel, subtable): the
@@ -1783,7 +1874,7 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                 def fix_block(rb, carry):
                     b_acc, gtop, iwt, tops = carry
                     cur = load_parts(rb)
-                    nxt = load_parts(jnp.minimum(rb + 1, nrow_blocks - 1))
+                    nxt = load_parts(jnp.minimum(rb + 1, nrow_cap - 1))
                     for j in range(8):
                         k = rb * 8 + j
                         gbot = (grow_all(cur, j + 1) if j < 7
@@ -1793,6 +1884,24 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                         in_rng = (k >= kb_u) & (k < ke_u)
                         row_ok = (in_rng & (r_cell >= 0.0)
                                   & (r_cell <= jnp.float32(n_r - 2)))
+                        if config.big_grid:
+                            # per-subtable global scan ranges: the two fan
+                            # chunks have different window origins, so a row
+                            # valid for one may be garbage (clamped DMA
+                            # rows) for the other — mask per corner.
+                            in_tts = [jnp.logical_and(k >= kbg[tt],
+                                                      k < keg[tt])
+                                      for tt in range(NS2)]
+
+                            def rowm(cc):
+                                if NS2 == 1:
+                                    return in_tts[0]
+                                # logical form, not jnp.where: a bool-valued
+                                # select lowers to an i8->i1 trunci Mosaic
+                                # rejects ("Unsupported target bitwidth for
+                                # truncation")
+                                return ((hi1[cc] & in_tts[1])
+                                        | (~hi1[cc] & in_tts[0]))
                         v_top = 1.0 - r_cell * inv_nrm1
                         v_bot = 1.0 - (r_cell + 1.0) * inv_nrm1
                         # Downward column-line edges, computed ONCE per fan
@@ -1820,6 +1929,8 @@ def _scan_kernel(w0_ref, bounds_ref, canch_ref, mid_ref, fconst_ref, *refs,
                             cg = cgs[f]
                             cell_ok = (row_ok & colok[f] & colok[f + 1]
                                        & (cg <= jnp.float32(n_c - 2)))
+                            if config.big_grid:
+                                cell_ok = cell_ok & rowm(f) & rowm(f + 1)
                             u0 = cg * inv_ncm1
                             u1 = (cg + 1.0) * inv_ncm1
                             base_id = (r_cell * jnp.float32(n_c - 1)
@@ -2487,7 +2598,12 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
     # every consumer crops its rows to ``height``. debug_records keeps
     # 1 band/step (its forensic output shape is per-band); big_grid keeps
     # its own per-chunk protocol.
-    bps = 1 if (config.big_grid or debug_records) else _BANDS_PER_STEP
+    if config.big_grid or debug_records:
+        bps = 1
+    elif bflag is not None:
+        bps = max(1, _PATCH_BANDS_PER_STEP)
+    else:
+        bps = _BANDS_PER_STEP
     nb2 = _ceil_to(nbands, bps)
     if nb2 != nbands:
         nchunks_p = cl // 128
@@ -2564,6 +2680,9 @@ def _raster_scan_pallas(win, texq, tex_hw, minv_rows, w0, bounds, canch,
             + [pltpu.VMEM((6, 8, wl), jnp.float32),
                pltpu.VMEM((2 * config.tex_rows, config.tex_cols), jnp.uint32),
                pltpu.SemaphoreType.DMA((4,))]
+            # round-5 big_grid colfix: (2 fan subtables, 3 ch, rmax, 128)
+            + ([pltpu.VMEM((2, 3, config.rmax, 128), jnp.float32)]
+               if config.big_grid and config.colfix is not None else [])
         ),
     )
     kernel = functools.partial(
@@ -3079,12 +3198,14 @@ def _patch_cfg2(config: ScanConfig, n_r, n_c, width, height):
     rotated-footprint texture window (see render_frames_scan_quality).
 
     Round 5: when pass 1 carries colfix, the transposed pass takes CHEAP
-    strip knobs + colfix=3 of its own instead — colfix recovers the strip
-    misses exhaustively, so the expensive sr=12/hyps=2 capture buys nothing
-    (measured at 1080p/d10, `--patch --colfix 3`: 25.7 fps at 40.17/40.22 dB
-    GL masked with the quality knobs vs **26.6 fps at 40.24/40.80** with
-    sr=8/off=3/hyps=1/dmax=4/colfix=3 — faster AND higher-fidelity; this is
-    the shipped ``mid`` tier).
+    strip knobs + a colfix of its own instead — colfix recovers the strip
+    misses exhaustively, so the expensive sr=12/hyps=2 capture buys nothing.
+    Measured ladder at 1080p/d10 (`--patch --colfix 3`,
+    experiments/mid_ladder.py, post colfix-cascade + narrow-chunk gates):
+    quality knobs 25.7 fps at 40.17/40.22 dB GL masked -> sr=8/off=3/
+    hyps=1/dmax=4/colfix=3 27.4 at 40.19/40.75 -> **sr=6/off=2/colfix=1
+    30.7 at 40.13/40.17** (shipped; colfix=2 is 28.5 at 40.19/40.60 for
+    margin over speed).
 
     ``DEPTHRENDERER_PATCH_CFG2`` (comma-separated ``k=v`` ScanConfig
     overrides, ints / 'none') re-knobs the pass for on-chip A/Bs — the
@@ -3092,8 +3213,8 @@ def _patch_cfg2(config: ScanConfig, n_r, n_c, width, height):
     import os
 
     if config.colfix is not None:
-        overrides = dict(sr=8, off=3, dmax=4, hyps=1,
-                         nbr=max(config.nbr, 2), colfix=3,
+        overrides = dict(sr=6, off=2, dmax=4, hyps=1,
+                         nbr=max(config.nbr, 2), colfix=1,
                          tex_rows=192, tex_cols=384)
     else:
         overrides = dict(sr=max(config.sr, 12), off=max(config.off, 5),

@@ -147,7 +147,52 @@ def replay(py, px):
     CWF = min(cfg.cw + 128, CL)
     if not (canch_f * 128 <= c < canch_f * 128 + CWF):
         return f"col {c} outside fetch/march window"
-    return "prep OK: march/exact-stage loss (rank/realign/tie)"
+    # Sub-split the march/exact-stage loss (round-5 session 2): rank the
+    # covering column among the scanline's BRACKETING crossings the way the
+    # march does (interval-hit test, z-ascending keys), and check the
+    # realign cap against the right column's own crossing row.
+    gk_cov = ks[ordinal]
+    hits = []
+    c_lo = canch_f * 128
+    c_hi = min(c_lo + CWF, CL - 1)
+    for c2 in range(c_lo, c_hi):
+        sy2 = sy_w[:, c2]
+        for k in range(kb, ke):
+            g = w0c + k
+            if g + 1 >= sy2.shape[0]:
+                break
+            d0, d1 = sy2[g] - qy, sy2[g + 1] - qy
+            if d0 >= 0 > d1:
+                tt = d0 / max(d0 - d1, 1e-30)
+                sxc = sx_w[g, c2] + tt * (sx_w[g + 1, c2] - sx_w[g, c2])
+                sy3 = sy_w[:, c2 + 1] if c2 + 1 < CL else sy2
+                d0b, d1b = sy3[g] - qy, sy3[g + 1] - qy
+                if d0b - d1b != 0:
+                    tb = np.clip(d0b / (d0b - d1b), 0.0, 1.0)
+                else:
+                    tb = 0.5
+                sxn = (sx_w[g, c2 + 1]
+                       + tb * (sx_w[g + 1, c2 + 1] - sx_w[g, c2 + 1])
+                       if c2 + 1 < CL else sxc)
+                if min(sxc, sxn) - 1.0 <= qx <= max(sxc, sxn) + 1.0:
+                    zk = z_w[g, c2] + tt * (z_w[g + 1, c2] - z_w[g, c2])
+                    hits.append((float(zk), c2, g))
+    hits.sort()
+    rank = next((i_ for i_, (_, c2, g) in enumerate(hits)
+                 if c2 == c and g == gk_cov), None)
+    if rank is None:
+        return "march interval miss (crossing not a hit for this pixel)"
+    if rank >= cfg.hyps:
+        return f"march rank: covering crossing ranked {rank} (hyps={cfg.hyps})"
+    # realign: the right column's bracketing crossing row distance
+    sy_r = sy_w[:, c + 1] if c + 1 < CL else sy_w[:, c]
+    ks_r = [g for g in range(max(w0c + kb, 0),
+                             min(w0c + ke, sy_r.shape[0] - 1))
+            if sy_r[g] >= qy > sy_r[g + 1]]
+    if ks_r and cfg.dmax is not None \
+            and min(abs(g - gk_cov) for g in ks_r) > cfg.dmax:
+        return f"realign cap: right record {min(abs(g - gk_cov) for g in ks_r)} rows away (dmax={cfg.dmax})"
+    return "prep+rank OK: exact-stage loss (tie/float/realign-detail)"
 
 
 flip = np.abs(scan_f.astype(int) - control.astype(int)).max(-1) > 8

@@ -781,3 +781,46 @@ def test_scan_colfix_production_window_shape(checker_texture):
     assert broke <= max(2, (fb & ~fx).sum() // 8), (
         f"colfix (2-subtable window) broke {broke} pixels, "
         f"fixed {(fb & ~fx).sum()}")
+
+
+@pytest.mark.scan_slow
+def test_scan_colfix_big_grid_closes_holes(checker_texture):
+    """colfix on the big_grid variant (round 5, the preset-4 fidelity fix):
+    the fan windows are DMA'd fresh from HBM with per-subtable global row
+    ranges (the per-chunk solve scratch is stale by march time). Same
+    contract as the standard-variant test: close most holes, break no
+    previously-correct pixels. The d12 hole forensics measured the fan's
+    classes (march-rank + strip-window + realign-cap + slot overflow) at
+    ~83% of preset-4 holes (experiments/p4_classify.py)."""
+    verts, uvs, idx, mvp, _ = scene(density=6, size=(48, 64), seed=3,
+                                    displacement=10.0)
+    W, H = 64, 48
+    n = 65
+    vg = verts.reshape(n, n, 3)
+    uvg = uvs.reshape(n, n, 2)
+    texf = checker_texture.astype(np.float32)
+    want = np.asarray(raster_reference.rasterize_reference(
+        verts, uvs, idx, mvp, checker_texture, W, H))
+    base_cfg = dataclasses.replace(CFG_MED, rmax=48, big_grid=True)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H, base_cfg, "texture", interpret=True))
+        fixed = np.asarray(raster_scan.render_frame_scan(
+            mvp, vg, uvg, texf, W, H,
+            dataclasses.replace(base_cfg, colfix=2), "texture",
+            interpret=True))
+
+    def flips(img):
+        return np.abs(img.astype(int) - want.astype(int)).max(-1) > 8
+
+    def holes(img):
+        return (flips(img) & (img[..., :3] == 0).all(-1)
+                & ~(want[..., :3] == 0).all(-1))
+
+    fb, hb = flips(base), holes(base)
+    fx, hx = flips(fixed), holes(fixed)
+    assert hb.sum() > 200, "scene no longer exhibits the hole class"
+    assert hx.sum() < 0.15 * hb.sum(), (hb.sum(), hx.sum())
+    broke = (~fb & fx).sum()
+    assert broke <= max(2, (fb & ~fx).sum() // 100), (
+        f"big_grid colfix broke {broke} previously-correct pixels")

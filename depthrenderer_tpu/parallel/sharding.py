@@ -157,6 +157,21 @@ def render_scenes_sharded(mesh: Mesh, mvps, vertex_grids, uv_grids, textures_f32
     uv_grids = jnp.asarray(uv_grids, jnp.float32)
     textures_f32 = jnp.asarray(textures_f32, jnp.float32)
 
+    if num == 1:
+        # Single-device mesh: shard_map partitions nothing, and the one
+        # fused jit it forces around the whole per-scene pipeline (prep +
+        # Pallas kernel + unpack, via lax.map) inserts layout copies around
+        # the pallas_call — the round-2 lesson, re-measured on the preset-5
+        # farm workload (8 scenes x 16 views, 640x480/d8): 17.9 scene-
+        # views/s through shard_map vs 194.8 through the host-orchestrated
+        # per-scene loop below (11x, `experiments/farm_probe.py`). Real
+        # multi-chip meshes keep the shard_map path: there the scene axis
+        # genuinely partitions and per-device throughput is not the
+        # bottleneck this farm measures.
+        return _render_scenes_host(mvps, vertex_grids, uv_grids,
+                                   textures_f32, width, height, config,
+                                   mode, frame_batch, impl, scan_config)
+
     mvps, true_s = _pad_to_multiple(mvps, num, axis=0)
     vertex_grids, _ = _pad_to_multiple(vertex_grids, num, axis=0)
     uv_grids, _ = _pad_to_multiple(uv_grids, num, axis=0)
@@ -183,3 +198,39 @@ def render_scenes_sharded(mesh: Mesh, mvps, vertex_grids, uv_grids, textures_f32
     )
     frames = jax.jit(fn)(mvps, vertex_grids, uv_grids, textures_f32)
     return frames[:true_s]
+
+
+def _render_scenes_host(mvps, vertex_grids, uv_grids, textures_f32,
+                        width, height, config, mode, frame_batch,
+                        impl, scan_config):
+    """Per-scene host-orchestrated render for a 1-device mesh.
+
+    Composes each impl's own separately-jitted pipeline (async dispatch
+    pipelines the scenes) instead of one shard_map-fused jit — measured 11x
+    on the farm workload (see render_scenes_sharded). Returns the same
+    (S, T, height, width, 4) uint8 stack the sharded path produces.
+    """
+    S = mvps.shape[0]
+    if impl == "scan":
+        from ..ops import raster_scan
+
+        n = int(vertex_grids.shape[1])
+        cfg = scan_config if scan_config is not None \
+            else raster_scan.suggest_scan_config(n, width, height)
+        interpret = jax.devices()[0].platform != "tpu"
+        outs = [raster_scan.render_frames_scan(
+            mvps[s], vertex_grids[s], uv_grids[s], textures_f32[s],
+            width, height, cfg, mode, interpret) for s in range(S)]
+    elif impl == "pallas":
+        from ..ops import raster_pallas
+
+        outs = [raster_pallas.render_frames_pallas(
+            mvps[s], vertex_grids[s], uv_grids[s], textures_f32[s],
+            width, height, config, mode, frame_batch=max(frame_batch, 1))
+            for s in range(S)]
+    else:
+        outs = [raster_grid.render_frames_grid(
+            mvps[s], vertex_grids[s], uv_grids[s], textures_f32[s],
+            width, height, config, mode, frame_batch=max(frame_batch, 1))
+            for s in range(S)]
+    return jnp.stack(outs)

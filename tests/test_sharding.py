@@ -108,6 +108,38 @@ def test_scenes_sharded(checker_texture):
 
 
 
+def test_scenes_single_device_host_path(checker_texture):
+    """A 1-device mesh takes the host-orchestrated per-scene loop (round 5:
+    measured 11x over the shard_map-fused jit on the preset-5 farm workload,
+    experiments/farm_probe.py) and must produce the sharded path's output."""
+    vgrid, uvgrid, tex, proj, cam, sway = tiny_scene(checker_texture)
+    W, H = 64, 48
+    times = animation.frame_times(2, 24.0)
+    views = np.asarray(sway.batch(times))
+    mvps1 = (proj[None] @ (cam[None] @ views)).astype(np.float32)
+
+    S = 3
+    mvps = np.broadcast_to(mvps1, (S, 2, 4, 4)).copy()
+    vgrids = np.broadcast_to(vgrid, (S,) + vgrid.shape).copy()
+    for s in range(S):
+        vgrids[s, ..., 2] *= (1.0 + 0.1 * s)
+    uvgrids = np.broadcast_to(uvgrid, (S,) + uvgrid.shape).copy()
+    texs = np.broadcast_to(tex, (S,) + tex.shape).copy()
+
+    mesh1 = make_render_mesh(jax.devices()[:1])
+    frames = np.asarray(
+        render_scenes_sharded(mesh1, mvps, vgrids, uvgrids, texs, W, H, CFG)
+    )
+    assert frames.shape == (S, 2, H, W, 4)
+    for s in range(S):
+        single = np.asarray(
+            render_frames_grid(mvps[s], vgrids[s], uvgrids[s], texs[s], W, H,
+                               CFG, frame_batch=2)
+        )
+        diff = np.any(frames[s].astype(int) != single.astype(int), axis=-1)
+        assert diff.mean() < 1e-4, f"scene {s}: {diff.sum()} pixels differ"
+
+
 def test_devices_are_faked():
     assert len(jax.devices()) == 8
     assert jax.devices()[0].platform == "cpu"

@@ -35,12 +35,11 @@ CROSS_FLOOR_DB = {   # scan-vs-LOSSLESS-grid PSNR floor (regression canary)
                        # 1.4 grid rows/px row — was 29-30 pre-colfix)
     (9, 1080): 30.0,   # coarser grid than the headline: >= its floor
     (8, 480): 40.0,    # multi-pixel cells: scan is near-exact (measured 44+)
-    (12, 2160): 25.0,  # FIRST on-config lossless comparison (round 4, the
-                       # render_frame_grid_exact control): measured 26.0 dB /
-                       # 1.83% flips — ~0.5-px cells put a real coverage-miss
-                       # class on the scan at d12 (not a fill-rule floor; the
-                       # exact control itself scores far higher vs GL; colfix
-                       # is standard-variant only, so d12 keeps the r3 score)
+    (12, 2160): 27.5,  # round 5: the big_grid colfix port (session 3)
+                       # measured 28.9 dB / 0.70% flips at the shipped
+                       # colfix=1 default vs the exact control (was 24.7 dB
+                       # / 1.82% without colfix; colfix=3 reaches 29.5 /
+                       # 0.58%) — p4_replay.py, QUALITY_GATES.md
 }
 CROSS_FLOOR_DEFAULT = 28.0   # unlisted configs: advisory-only conservatism
 CROSS_FLIP_CEIL = {          # scan-vs-lossless-grid flip-fraction ceiling
@@ -49,7 +48,8 @@ CROSS_FLIP_CEIL = {          # scan-vs-lossless-grid flip-fraction ceiling
                              # identity view — see frontal_attrib.py)
     (10, 720): 0.008,        # r4 colfix default: measured 0.0035 (sway0)
     (8, 480): 0.0036,        # measured 0.0018 pre-colfix; 0.0003 at r4 HEAD
-    (12, 2160): 0.02,        # measured 0.0183 vs the exact control (round 4)
+    (12, 2160): 0.009,       # round 5 big_grid colfix=1: measured 0.0070
+                             # vs the exact control (0.0182 pre-colfix)
 }
 CROSS_FLIP_CEIL_DEFAULT = 0.02
 GL_GATE_DB = 40.0  # BASELINE.md: masked PSNR vs the real-GL golden

@@ -408,14 +408,18 @@ def suggest_scan_config(grid_n: int, width: int, height: int,
             dual_col=cfg.dual_col if dual_explicit else False,
             row_edge=cfg.row_edge if rowe_explicit else False,
             patch=False,  # sparse patch is standard-variant only
-            # round 5: colfix carries over to big_grid unchanged (fan
-            # windows DMA'd from HBM); it is the preset-4 fidelity fix (the
-            # d12 hole classes — march-rank 34% + strip-window 25% +
-            # realign-cap 13% + slot overflow 11%, experiments/
-            # p4_classify.py — all die in the exhaustive fan).
+            # round 5: colfix defaults ON for big_grid too (fan windows
+            # DMA'd from HBM) — it is the preset-4 fidelity fix (the d12
+            # hole classes — march-rank 34% + strip-window 25% + realign-
+            # cap 13% + slot overflow 11%, experiments/p4_classify.py —
+            # all die in the exhaustive fan: 24.7 -> 28.9 dB / 1.82% ->
+            # 0.70% flips vs the exact control at K=1). The standard-path
+            # default above is gated on cw <= 384 and so never fires for
+            # big_grid-bound grids; set it here (explicit override wins).
             # big_grid keeps the round-3 strip knobs: at ~0.5-px cells the
             # strips are the only capture and the colfix fan supplements
             # rather than replaces them.
+            colfix=cfg.colfix if colfix_explicit else (3 if quality else 1),
             sr=cfg.sr if (strips_explicit["sr"] or quality) else 10,
             off=cfg.off if (strips_explicit["off"] or quality) else 4,
             dmax=cfg.dmax if (strips_explicit["dmax"] or quality) else 5,

@@ -32,7 +32,7 @@ from depthrenderer_tpu.ops import raster_scan
 
 W, H, D, CULL = 3840, 2160, 12, 0.25
 n = 2**D + 1
-d = np.load("/tmp/p4_holes.npz")
+d = np.load(os.environ.get("P4_NPZ", "/tmp/p4_holes.npz"))
 scan_f, control, mvp = d["scan"], d["control"], d["mvp"]
 
 depth_r = dio.resize(dio.load_depth("/root/reference/samples/00000_depth.png"),
@@ -178,12 +178,20 @@ def replay(py, px):
                     zk = z_w[g, c2] + tt * (z_w[g + 1, c2] - z_w[g, c2])
                     hits.append((float(zk), c2, g))
     hits.sort()
+    # colfix-fan reachability (round-5 session 3): the fixup's fan anchors
+    # at the marched top-1 column (hits[0]); bucket the covering column's
+    # cell distance from it so residual-after-colfix holes say whether a
+    # wider fan (K > 3) would capture them.
+    fan_d = abs(c - hits[0][1]) if hits else None
+    fan_tag = f" fan-dist {min(fan_d, 9)}" if fan_d is not None else ""
     rank = next((i_ for i_, (_, c2, g) in enumerate(hits)
                  if c2 == c and g == gk_cov), None)
     if rank is None:
-        return "march interval miss (crossing not a hit for this pixel)"
+        return "march interval miss (crossing not a hit for this pixel)" \
+            + fan_tag
     if rank >= cfg.hyps:
-        return f"march rank: covering crossing ranked {rank} (hyps={cfg.hyps})"
+        return (f"march rank: covering crossing ranked {rank} "
+                f"(hyps={cfg.hyps})") + fan_tag
     # realign: the right column's bracketing crossing row distance
     sy_r = sy_w[:, c + 1] if c + 1 < CL else sy_w[:, c]
     ks_r = [g for g in range(max(w0c + kb, 0),
